@@ -1,0 +1,419 @@
+"""Sparse Schur-complement Levenberg–Marquardt engine for bundle adjustment.
+
+This module replaces the reference's entire refinement stack —
+scipy.optimize.least_squares(method='trf', jac_sparsity=...) with
+finite-difference grouped Jacobians (bundle_adjustment.py:301-313) — with a
+TPU-first design:
+
+- **Analytic Jacobians**: each observation block (camera c, frame f) touches
+  exactly 12 camera params + 6 pose params; ``jax.jacfwd`` over the
+  per-(c,f) projection yields the closed 18-wide blocks, batched with vmap.
+  The big sparse J is never materialized.
+- **Block normal equations**: per-camera 12x12 blocks U_c, per-frame 6x6
+  blocks V_f, cross blocks W_cf, assembled by einsum (MXU-friendly batched
+  matmuls).
+- **Schur complement**: eliminate the frame-pose blocks (batched 6x6
+  solves — embarrassingly parallel over the frame axis), reduce the dense
+  camera system S (12C x 12C) with a single ``psum`` over the frame-sharded
+  mesh axis, solve replicated, back-substitute poses locally. This is the
+  "shard the long axis, replicate the small global state" recipe from the
+  scaling playbook applied to BA (SURVEY.md §5 long-context analogue).
+- **Robust loss**: soft-L1 via IRLS weights (parity with loss='soft_l1');
+  Jacobi equilibration of both solves stands in for x_scale='jac' and keeps
+  float32 TPU solves well-conditioned.
+- **Static shapes**: missing observations are weight-0 mask entries, never
+  gathers; frozen parameters (e.g. root-camera gauge or intrinsics-only
+  solves) are handled by masking Jacobian columns.
+
+The whole optimizer is a single jitted ``lax.while_loop`` — one XLA program,
+no host round-trips per iteration.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.projection import distort_normalized
+from ..ops.rotation import so3_exp
+
+__all__ = [
+    "LMOptions",
+    "LMState",
+    "project_board_points",
+    "compute_residuals",
+    "compute_cost",
+    "build_normal_blocks",
+    "schur_solve",
+    "lm_solve",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class LMOptions:
+    """Optimizer options (static under jit).
+
+    Defaults mirror the reference's scipy call: ftol=1e-4, soft_l1 loss with
+    f_scale=1 (bundle_adjustment.py:301-303).
+    """
+
+    max_iters: int = 100
+    max_tries: int = 10  # damping retries per outer iteration
+    ftol: float = 1e-4
+    gtol: float = 1e-12
+    init_lambda: float = 1e-4
+    lambda_up: float = 5.0
+    lambda_down: float = 1.0 / 3.0
+    min_lambda: float = 1e-12
+    max_lambda: float = 1e8
+    loss: str = "soft_l1"  # or "linear"
+    f_scale: float = 1.0
+
+
+class LMState(NamedTuple):
+    cam_params: jnp.ndarray  # (C, 12)
+    pose_params: jnp.ndarray  # (F_local, 6)
+    lam: jnp.ndarray  # damping scalar
+    cost: jnp.ndarray  # current robust cost
+    it: jnp.ndarray  # outer iteration counter
+    done: jnp.ndarray  # convergence flag
+
+
+def _unpack_cam(cam12):
+    """cam12 = [fx, fy, cx, cy, k1, k2, rx, ry, rz, tx, ty, tz].
+
+    Exact reference parameter layout (bundle_adjustment.py:128-192) so
+    serialized vectors interoperate.
+    """
+    fx, fy, cx, cy = cam12[0], cam12[1], cam12[2], cam12[3]
+    dist = cam12[4:6]
+    rvec, tvec = cam12[6:9], cam12[9:12]
+    return fx, fy, cx, cy, dist, rvec, tvec
+
+
+def project_board_points(cam12, pose6, objpoints):
+    """Forward model for one (camera, frame) block: board points -> pixels.
+
+    Composes board->world (pose6) with world->camera (cam12[6:]) and applies
+    the reference's radial k1,k2 distortion model (geometry.py:277-325).
+    Returns (N, 2). Everything is fused so jacfwd emits tight 18-wide blocks.
+    """
+    fx, fy, cx, cy, dist, rvec, tvec = _unpack_cam(cam12)
+    R_pose = so3_exp(pose6[:3])
+    pts_world = objpoints @ R_pose.T + pose6[3:]
+    R_cam = so3_exp(rvec)
+    pts_cam = pts_world @ R_cam.T + tvec
+    xy = pts_cam[..., :2] / pts_cam[..., 2:]
+    xy_d = distort_normalized(xy, dist)
+    u = fx * xy_d[..., 0] + cx
+    v = fy * xy_d[..., 1] + cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def compute_residuals(cam_params, pose_params, obs, mask, objpoints):
+    """Masked residuals (C, F, N, 2): (obs - pred) * mask (zeros where unseen)."""
+    pred = jax.vmap(  # over cameras
+        jax.vmap(project_board_points, in_axes=(None, 0, None)),  # over frames
+        in_axes=(0, None, None),
+    )(cam_params, pose_params, objpoints)
+    r = jnp.nan_to_num(obs) - pred
+    return jnp.where(mask[..., None], r, 0.0)
+
+
+def _robust_weights(r2, opts: LMOptions):
+    """Per-component IRLS weight sqrt(rho'(z)), z = r^2 / f_scale^2.
+
+    soft_l1: rho(z) = 2(sqrt(1+z)-1), rho'(z) = 1/sqrt(1+z).
+    """
+    if opts.loss == "linear":
+        return jnp.ones_like(r2)
+    z = r2 / (opts.f_scale**2)
+    return (1.0 + z) ** -0.25  # sqrt(rho'(z))
+
+
+def _robust_cost(r2_masked, opts: LMOptions, axis=None):
+    """0.5 * sum rho(r_i^2) with scipy's elementwise loss semantics."""
+    if opts.loss == "linear":
+        return 0.5 * jnp.sum(r2_masked, axis=axis)
+    fs2 = opts.f_scale**2
+    z = r2_masked / fs2
+    return 0.5 * fs2 * jnp.sum(2.0 * (jnp.sqrt(1.0 + z) - 1.0), axis=axis)
+
+
+def compute_cost(cam_params, pose_params, obs, mask, objpoints, opts, axis_name=None):
+    """Robust cost over (optionally frame-sharded) observations."""
+    r = compute_residuals(cam_params, pose_params, obs, mask, objpoints)
+    r2 = jnp.where(mask[..., None], r**2, 0.0)
+    cost = _robust_cost(r2, opts)
+    if axis_name is not None:
+        cost = lax.psum(cost, axis_name)
+    return cost
+
+
+class NormalBlocks(NamedTuple):
+    U: jnp.ndarray  # (C, 12, 12)  camera blocks (summed over local frames)
+    V: jnp.ndarray  # (F, 6, 6)    pose blocks
+    W: jnp.ndarray  # (C, F, 12, 6) cross blocks
+    g_cam: jnp.ndarray  # (C, 12)  gradient (camera part, local sum)
+    g_pose: jnp.ndarray  # (F, 6)  gradient (pose part)
+    cost: jnp.ndarray  # robust cost at linearization point (local sum)
+
+
+def build_normal_blocks(
+    cam_params, pose_params, obs, mask, objpoints, opts: LMOptions,
+    cam_free=None, pose_free=None,
+):
+    """Linearize at the current params and form block normal equations.
+
+    ``cam_free`` (C, 12) / ``pose_free`` (F, 6) are 0/1 masks; frozen columns
+    get zero Jacobian (their updates come out exactly 0 after the solve since
+    the corresponding diagonal is identity-padded in ``schur_solve``).
+
+    All quantities are *local sums* over the frame axis; under frame sharding
+    the caller psums U/g_cam/cost (V, W, g_pose stay local).
+    """
+    C = cam_params.shape[0]
+    F = pose_params.shape[0]
+
+    def per_cf(cam12, pose6, obs_cf, mask_cf):
+        pred, (A, B) = _value_and_jacs(cam12, pose6, objpoints)
+        r = (jnp.nan_to_num(obs_cf) - pred) * mask_cf[..., None]  # (N, 2)
+        w = _robust_weights(r**2, opts) * mask_cf[..., None]  # (N, 2)
+        A = A * w[..., None]  # (N, 2, 12)
+        B = B * w[..., None]  # (N, 2, 6)
+        rw = r * w
+        U_cf = jnp.einsum("nki,nkj->ij", A, A)
+        V_cf = jnp.einsum("nki,nkj->ij", B, B)
+        W_cf = jnp.einsum("nki,nkj->ij", A, B)
+        g_cam_cf = jnp.einsum("nki,nk->i", A, rw)
+        g_pose_cf = jnp.einsum("nki,nk->i", B, rw)
+        cost_cf = _robust_cost(jnp.where(mask_cf[..., None], r**2, 0.0), opts)
+        return U_cf, V_cf, W_cf, g_cam_cf, g_pose_cf, cost_cf
+
+    per_f = jax.vmap(per_cf, in_axes=(None, 0, 0, 0))  # over frames
+    per_cf_all = jax.vmap(per_f, in_axes=(0, None, 0, 0))  # over cameras
+
+    cam_in = cam_params if cam_free is None else cam_params  # masking below
+    U_all, V_all, W_all, gc_all, gp_all, cost_all = per_cf_all(
+        cam_in, pose_params, obs, mask
+    )
+    # (C,F,12,12), (C,F,6,6), (C,F,12,6), (C,F,12), (C,F,6), (C,F)
+
+    if cam_free is not None:
+        cf = cam_free.astype(cam_params.dtype)  # (C, 12)
+        U_all = U_all * cf[:, None, :, None] * cf[:, None, None, :]
+        W_all = W_all * cf[:, None, :, None]
+        gc_all = gc_all * cf[:, None, :]
+    if pose_free is not None:
+        pf = pose_free.astype(pose_params.dtype)  # (F, 6)
+        V_all = V_all * pf[None, :, :, None] * pf[None, :, None, :]
+        W_all = W_all * pf[None, :, None, :]
+        gp_all = gp_all * pf[None, :, :]
+
+    return NormalBlocks(
+        U=jnp.sum(U_all, axis=1),
+        V=jnp.sum(V_all, axis=0),
+        W=W_all,
+        g_cam=jnp.sum(gc_all, axis=1),
+        g_pose=jnp.sum(gp_all, axis=0),
+        cost=jnp.sum(cost_all),
+    )
+
+
+def _value_and_jacs(cam12, pose6, objpoints):
+    """Prediction plus Jacobians wrt (cam12, pose6): ((N,2), ((N,2,12),(N,2,6)))."""
+    fun = lambda c, p: project_board_points(c, p, objpoints)
+    pred = fun(cam12, pose6)
+    A, B = jax.jacfwd(fun, argnums=(0, 1))(cam12, pose6)
+    return pred, (A, B)
+
+
+def _equilibrated_solve(M, b):
+    """Solve M x = b with Jacobi equilibration (keeps f32 solves stable)."""
+    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(M, axis1=-2, axis2=-1), 1e-30))
+    Ms = M * d[..., :, None] * d[..., None, :]
+    x = jnp.linalg.solve(Ms, b * d)
+    return x * d
+
+
+def schur_solve(blocks: NormalBlocks, lam, axis_name=None, eps=1e-12):
+    """Solve the damped normal equations via Schur complement.
+
+    Damping is Marquardt-style (lam * diag), which realizes the same
+    column-scaling effect as scipy's x_scale='jac'. Returns
+    (dcam (C,12), dpose (F,6)). Under frame sharding (``axis_name``), U,
+    g_cam and the reduced system are psum-ed; the pose back-substitution is
+    local to the shard.
+    """
+    C = blocks.U.shape[0]
+    F = blocks.V.shape[0]
+    dtype = blocks.U.dtype
+
+    U = blocks.U
+    g_cam = blocks.g_cam
+    if axis_name is not None:
+        U = lax.psum(U, axis_name)
+        g_cam = lax.psum(g_cam, axis_name)
+
+    # Damped diagonal; identity-pad zero diagonals (frozen params / empty
+    # frames) so every block stays invertible with a zero update.
+    diag_U = jnp.diagonal(U, axis1=-2, axis2=-1)
+    diag_V = jnp.diagonal(blocks.V, axis1=-2, axis2=-1)
+    U_d = U + _diag_embed(lam * diag_U + eps + (diag_U <= 0))
+    V_d = blocks.V + _diag_embed(lam * diag_V + eps + (diag_V <= 0))
+
+    # Batched 6x6 pose-block inverses (equilibrated).
+    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(V_d, axis1=-2, axis2=-1), 1e-30))
+    V_s = V_d * d[..., :, None] * d[..., None, :]
+    Vinv_s = jnp.linalg.inv(V_s)
+    V_inv = Vinv_s * d[..., :, None] * d[..., None, :]  # (F, 6, 6)
+
+    # Reduced camera system S = U - sum_f W_f V_f^-1 W_f^T (dense 12C x 12C).
+    WVinv = jnp.einsum("cfij,fjk->cfik", blocks.W, V_inv)  # (C, F, 12, 6)
+    S_cross = jnp.einsum("afik,bfjk->aibj", WVinv, blocks.W)  # (C,12,C,12)
+    rhs_cross = jnp.einsum("cfik,fk->ci", WVinv, blocks.g_pose)  # (C, 12)
+    if axis_name is not None:
+        S_cross = lax.psum(S_cross, axis_name)
+        rhs_cross = lax.psum(rhs_cross, axis_name)
+
+    S = _blockdiag_embed(U_d, C) - S_cross.reshape(12 * C, 12 * C)
+    rhs = (g_cam - rhs_cross).reshape(12 * C)
+
+    dcam = _equilibrated_solve(S, rhs).reshape(C, 12)
+
+    # Back-substitute poses locally: dpose_f = V_f^-1 (g_pose_f - W^T dcam).
+    Wt_dcam = jnp.einsum("cfik,ci->fk", blocks.W, dcam)  # (F, 6)
+    dpose = jnp.einsum("fij,fj->fi", V_inv, blocks.g_pose - Wt_dcam)
+    return dcam.astype(dtype), dpose.astype(dtype)
+
+
+def _diag_embed(diags):
+    """(..., n) -> (..., n, n) diagonal matrices."""
+    n = diags.shape[-1]
+    return diags[..., :, None] * jnp.eye(n, dtype=diags.dtype)
+
+
+def _blockdiag_embed(blocks, C):
+    """(C, 12, 12) -> (12C, 12C) block-diagonal."""
+    out = jnp.zeros((C, 12, C, 12), dtype=blocks.dtype)
+    idx = jnp.arange(C)
+    out = out.at[idx, :, idx, :].set(blocks)
+    return out.reshape(12 * C, 12 * C)
+
+
+def lm_solve(
+    cam_params,
+    pose_params,
+    obs,
+    mask,
+    objpoints,
+    opts: LMOptions = LMOptions(),
+    cam_free=None,
+    pose_free=None,
+    axis_name=None,
+):
+    """Run the full LM loop; returns (cam, poses, info dict).
+
+    Single XLA program: ``lax.while_loop`` over outer iterations, nested
+    ``lax.while_loop`` over damping retries (blocks reused across retries —
+    only the cheap Schur solve and a residual-only cost eval re-run).
+    Works identically single-device or inside shard_map with ``axis_name``
+    set to the frame mesh axis.
+    """
+    dtype = cam_params.dtype
+    cost0 = compute_cost(
+        cam_params, pose_params, obs, mask, objpoints, opts, axis_name
+    )
+
+    def cost_fn(cam, poses):
+        return compute_cost(cam, poses, obs, mask, objpoints, opts, axis_name)
+
+    def outer_body(state: LMState):
+        blocks = build_normal_blocks(
+            state.cam_params, state.pose_params, obs, mask, objpoints, opts,
+            cam_free, pose_free,
+        )
+        grad_norm = jnp.sqrt(
+            jnp.sum(
+                (lax.psum(blocks.g_cam, axis_name) if axis_name else blocks.g_cam)
+                ** 2
+            )
+            + (
+                lax.psum(jnp.sum(blocks.g_pose**2), axis_name)
+                if axis_name
+                else jnp.sum(blocks.g_pose**2)
+            )
+        )
+
+        # Inner: retry with increasing damping until cost decreases.
+        def inner_cond(t):
+            _, _, _, lam, tries, accepted, _ = t
+            return (~accepted) & (tries < opts.max_tries) & (lam < opts.max_lambda)
+
+        def inner_body(t):
+            cam, poses, cost_new, lam, tries, _, _ = t
+            dcam, dpose = schur_solve(blocks, lam, axis_name)
+            cam_try = state.cam_params + dcam
+            poses_try = state.pose_params + dpose
+            cost_try = cost_fn(cam_try, poses_try)
+            accepted = (cost_try < state.cost) & jnp.isfinite(cost_try)
+            lam_next = jnp.where(accepted, lam, lam * opts.lambda_up)
+            return (
+                jnp.where(accepted, cam_try, cam),
+                jnp.where(accepted, poses_try, poses),
+                jnp.where(accepted, cost_try, cost_new),
+                lam_next,
+                tries + 1,
+                accepted,
+                lam,
+            )
+
+        init = (
+            state.cam_params,
+            state.pose_params,
+            state.cost,
+            state.lam,
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), bool),
+            state.lam,
+        )
+        cam_n, poses_n, cost_n, lam_n, _, accepted, lam_used = lax.while_loop(
+            inner_cond, inner_body, init
+        )
+
+        # On acceptance relax damping; on total failure keep raised lambda.
+        lam_next = jnp.clip(
+            jnp.where(accepted, lam_used * opts.lambda_down, lam_n),
+            opts.min_lambda,
+            opts.max_lambda,
+        )
+        rel_drop = (state.cost - cost_n) / jnp.maximum(state.cost, 1e-30)
+        done = (~accepted) | (accepted & (rel_drop < opts.ftol)) | (
+            grad_norm < opts.gtol
+        )
+        return LMState(cam_n, poses_n, lam_next, cost_n, state.it + 1, done)
+
+    def outer_cond(state: LMState):
+        return (~state.done) & (state.it < opts.max_iters)
+
+    init_state = LMState(
+        cam_params=cam_params,
+        pose_params=pose_params,
+        lam=jnp.asarray(opts.init_lambda, dtype),
+        cost=cost0,
+        it=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool),
+    )
+    final = lax.while_loop(outer_cond, outer_body, init_state)
+    info = {
+        "initial_cost": cost0,
+        "final_cost": final.cost,
+        "n_iters": final.it,
+        "lambda": final.lam,
+        "converged": final.done,
+    }
+    return final.cam_params, final.pose_params, info
