@@ -10,7 +10,46 @@ collectives) rather than single-process CPU loops.
 
 from .ops import *  # noqa: F401,F403
 from .ops import __all__ as _ops_all
+from .models.initialize import (
+    calibrate,
+    consensus_calib_poses,
+    estimate_all_extrinsics,
+    estimate_pairwise_camera_transform,
+    estimate_pose,
+    get_camera_spanning_tree,
+    get_intrinsics,
+)
+from .models.bundle_adjustment import (
+    bundle_adjust,
+    bundle_adjustment_sparsity,
+    deserialize_params,
+    embed_calib_objpoints,
+    predict_calib_uvs,
+    residuals,
+    serialize_params,
+)
+from .models.lm_core import LMOptions
+from .detection.board import generate_chessboard_objpoints
+from .synthetic import make_synthetic_rig
 
-__all__ = list(_ops_all)
+__all__ = list(_ops_all) + [
+    "calibrate",
+    "consensus_calib_poses",
+    "estimate_all_extrinsics",
+    "estimate_pairwise_camera_transform",
+    "estimate_pose",
+    "get_camera_spanning_tree",
+    "get_intrinsics",
+    "bundle_adjust",
+    "bundle_adjustment_sparsity",
+    "deserialize_params",
+    "embed_calib_objpoints",
+    "predict_calib_uvs",
+    "residuals",
+    "serialize_params",
+    "LMOptions",
+    "generate_chessboard_objpoints",
+    "make_synthetic_rig",
+]
 
 __version__ = "0.1.0"

@@ -1,0 +1,270 @@
+"""Bundle adjustment: reference-parity API over the Schur LM engine.
+
+Drop-in capability match for /root/reference/multicam_calibration/
+bundle_adjustment.py — same parameter layout, same outlier/frame-selection
+semantics, same return structure — with the scipy TRF solver replaced by the
+jitted Schur-complement LM in :mod:`.lm_core` (and optional frame sharding
+over a device mesh via :mod:`..parallel`).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.projection import project_points
+from ..ops.transforms import (
+    euclidean_to_homogenous,
+    get_transformation_matrix,
+)
+from .lm_core import LMOptions, lm_solve
+
+__all__ = [
+    "embed_calib_objpoints",
+    "predict_calib_uvs",
+    "residuals",
+    "bundle_adjustment_sparsity",
+    "serialize_params",
+    "deserialize_params",
+    "bundle_adjust",
+]
+
+
+def embed_calib_objpoints(calib_objpoints, calib_poses):
+    """Board canonical points -> world coords per frame: (F, N, 3).
+
+    Parity: bundle_adjustment.py:10-30.
+    """
+    T = get_transformation_matrix(jnp.asarray(calib_poses))[:, None]
+    pts = euclidean_to_homogenous(jnp.asarray(calib_objpoints))[None, :, :, None]
+    return (T @ pts)[..., :3, 0]
+
+
+def predict_calib_uvs(all_extrinsics, all_intrinsics, calib_objpoints, calib_poses):
+    """Forward model for every camera: (C, F, N, 2).
+
+    Parity: bundle_adjustment.py:33-63.
+    """
+    pts = embed_calib_objpoints(calib_objpoints, calib_poses)
+    preds = [
+        project_points(
+            pts, jnp.asarray(all_extrinsics[i]),
+            jnp.asarray(all_intrinsics[i][0]), jnp.asarray(all_intrinsics[i][1]),
+        )
+        for i in range(len(all_extrinsics))
+    ]
+    return jnp.stack(preds)
+
+
+def residuals(params, all_calib_uvs, calib_objpoints):
+    """Flat masked residual vector (obs - pred)[~isnan(obs)].
+
+    Parity: bundle_adjustment.py:66-98 (useful for cross-checking our cost
+    against scipy on the same parameter vector).
+    """
+    all_calib_uvs = np.asarray(all_calib_uvs)
+    ext, intr, poses = deserialize_params(params, all_calib_uvs.shape[0])
+    pred = np.asarray(predict_calib_uvs(ext, intr, calib_objpoints, poses))
+    return (all_calib_uvs - pred)[~np.isnan(all_calib_uvs)]
+
+
+def bundle_adjustment_sparsity(all_calib_uvs):
+    """Jacobian sparsity pattern (scipy.sparse), for interop/debugging.
+
+    Parity: bundle_adjustment.py:101-125. The TPU solver never materializes
+    this matrix — it exists so reference-style workflows (e.g. handing the
+    problem to scipy for cross-validation) keep working.
+    """
+    from scipy.sparse import lil_matrix
+
+    n_cameras, n_frames, N, _ = all_calib_uvs.shape
+    n_params = n_cameras * 12 + n_frames * 6
+    mask = ~np.isnan(all_calib_uvs)
+    cam_ixs = np.broadcast_to(
+        np.arange(n_cameras)[:, None, None, None], all_calib_uvs.shape
+    )[mask]
+    frame_ixs = np.broadcast_to(
+        np.arange(n_frames)[None, :, None, None], all_calib_uvs.shape
+    )[mask]
+    A = lil_matrix((int(mask.sum()), n_params), dtype=int)
+    i = np.arange(int(mask.sum()))
+    for s in range(12):
+        A[i, cam_ixs * 12 + s] = 1
+    for s in range(6):
+        A[i, n_cameras * 12 + frame_ixs * 6 + s] = 1
+    return A
+
+
+def serialize_params(all_extrinsics, all_intrinsics, calib_poses):
+    """Flatten to the reference layout: per camera
+    [fx, fy, cx, cy, k1, k2, rx, ry, rz, tx, ty, tz], then F x 6 poses
+    (bundle_adjustment.py:128-157)."""
+    x0 = []
+    for transform, (camera_matrix, dist_coefs) in zip(all_extrinsics, all_intrinsics):
+        K = np.asarray(camera_matrix)
+        x0.append(
+            np.concatenate(
+                [
+                    [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                    np.asarray(dist_coefs).reshape(-1)[:2],
+                    np.asarray(transform).reshape(-1),
+                ]
+            )
+        )
+    x0.append(np.asarray(calib_poses).reshape(-1))
+    return np.concatenate(x0)
+
+
+def deserialize_params(x, n_cameras):
+    """Inverse of :func:`serialize_params` (bundle_adjustment.py:160-192);
+    dist coefs are zero-padded to 5 (k1, k2 only are optimized)."""
+    x = np.asarray(x)
+    all_extrinsics, all_intrinsics = [], []
+    for i in range(n_cameras):
+        fx, fy, cx, cy = x[i * 12 : i * 12 + 4]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+        dist = np.pad(x[i * 12 + 4 : i * 12 + 6], (0, 3))
+        all_extrinsics.append(x[i * 12 + 6 : i * 12 + 12])
+        all_intrinsics.append((K, dist))
+    calib_poses = x[n_cameras * 12 :].reshape(-1, 6)
+    return np.array(all_extrinsics), all_intrinsics, calib_poses
+
+
+def _params_to_arrays(all_extrinsics, all_intrinsics):
+    """(C, 12) cam-param matrix in the reference layout."""
+    rows = []
+    for ext, (K, dist) in zip(all_extrinsics, all_intrinsics):
+        K = np.asarray(K)
+        rows.append(
+            np.concatenate(
+                [
+                    [K[0, 0], K[1, 1], K[0, 2], K[1, 2]],
+                    np.asarray(dist).reshape(-1)[:2],
+                    np.asarray(ext).reshape(-1),
+                ]
+            )
+        )
+    return np.stack(rows)
+
+
+def _arrays_to_params(cam):
+    cam = np.asarray(cam)
+    all_extrinsics = cam[:, 6:12]
+    all_intrinsics = []
+    for row in cam:
+        K = np.array([[row[0], 0, row[2]], [0, row[1], row[3]], [0, 0, 1.0]])
+        all_intrinsics.append((K, np.array([row[4], row[5], 0.0, 0.0, 0.0])))
+    return all_extrinsics, all_intrinsics
+
+
+def bundle_adjust(
+    all_calib_uvs,
+    all_extrinsics,
+    all_intrinsics,
+    calib_objpoints,
+    calib_poses,
+    n_frames=10000,
+    outlier_threshold=None,
+    dtype=None,
+    lm_options=None,
+    mesh=None,
+    seed=0,
+    verbose=True,
+    **opt_kwargs,
+):
+    """Joint refinement of camera params + board poses (reference parity API).
+
+    Semantics match bundle_adjustment.py:195-327: frames observed by >= 2
+    cameras; frames whose worst per-camera mean reprojection error exceeds
+    ``outlier_threshold`` (default 5 x median error) excluded; random
+    subsample to ``n_frames``; then LM with soft-L1 loss and ftol=1e-4.
+
+    TPU extensions: ``dtype`` selects compute precision (f64 on CPU tests,
+    f32 on TPU), ``mesh`` an optional ``jax.sharding.Mesh`` with a 'frames'
+    axis for multi-device BA (see parallel.sharded_bundle_adjust).
+
+    Returns (adjusted_extrinsics, adjusted_intrinsics, adjusted_calib_poses,
+    use_frames, result_info).
+    """
+    all_calib_uvs = np.asarray(all_calib_uvs)
+    n_cameras = all_calib_uvs.shape[0]
+
+    full = ~np.isnan(all_calib_uvs).any((-1, -2))  # (C, F) full detections
+    use_frames = np.nonzero(full.sum(0) > 1)[0]
+
+    # Outlier-frame exclusion at the initial parameters (reference rule).
+    pred = np.asarray(
+        predict_calib_uvs(
+            all_extrinsics, all_intrinsics, calib_objpoints,
+            np.asarray(calib_poses)[use_frames],
+        )
+    )
+    err = np.linalg.norm(all_calib_uvs[:, use_frames] - pred, axis=-1)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        worst_mean_err = np.nanmax(np.nanmean(err, axis=-1), axis=0)
+    if outlier_threshold is None:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", category=RuntimeWarning)
+            outlier_threshold = 5 * np.nanmedian(err)
+    exclude = np.nan_to_num(worst_mean_err) > outlier_threshold
+    use_frames = use_frames[~exclude]
+    if verbose:
+        print(
+            f"Excluding {int(exclude.sum())} out of {len(use_frames)} frames "
+            f"based on an outlier threshold of {outlier_threshold}"
+        )
+
+    if n_frames is None or n_frames > len(use_frames):
+        n_frames = len(use_frames)
+    else:
+        rng = np.random.default_rng(seed)
+        use_frames = np.sort(rng.choice(use_frames, n_frames, replace=False))
+
+    obs_np = all_calib_uvs[:, use_frames]
+    mask_np = ~np.isnan(obs_np).any(-1)  # (C, F, N) per-point mask
+    cam0 = _params_to_arrays(all_extrinsics, all_intrinsics)
+    poses0 = np.asarray(calib_poses)[use_frames]
+
+    if dtype is None:
+        dtype = jnp.zeros(0).dtype  # backend default (f64 on x64 CPU, f32 TPU)
+    obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
+    mask = jnp.asarray(mask_np)
+    cam0_j = jnp.asarray(cam0, dtype=dtype)
+    poses0_j = jnp.asarray(np.nan_to_num(poses0), dtype=dtype)
+    objpoints_j = jnp.asarray(calib_objpoints, dtype=dtype)
+
+    opts = lm_options or LMOptions(
+        ftol=opt_kwargs.get("ftol", 1e-4),
+        loss=opt_kwargs.get("loss", "soft_l1"),
+        f_scale=opt_kwargs.get("f_scale", 1.0),
+        max_iters=opt_kwargs.get("max_iters", 100),
+    )
+
+    if mesh is not None:
+        from ..parallel.sharded import sharded_lm_solve
+
+        cam, poses, info = sharded_lm_solve(
+            cam0_j, poses0_j, obs, mask, objpoints_j, opts, mesh=mesh
+        )
+    else:
+        # lm_solve is itself jitted with a module-level cache (keyed on
+        # shapes + opts), so repeated calls don't recompile.
+        cam, poses, info = lm_solve(cam0_j, poses0_j, obs, mask, objpoints_j, opts)
+
+    adjusted_extrinsics, adjusted_intrinsics = _arrays_to_params(cam)
+    adjusted_calib_poses = np.asarray(poses)
+    result = {k: np.asarray(v) for k, v in info.items()}
+    if verbose:
+        print(
+            f"BA: cost {float(result['initial_cost']):.4g} -> "
+            f"{float(result['final_cost']):.4g} in {int(result['n_iters'])} iters"
+        )
+    return (
+        adjusted_extrinsics,
+        adjusted_intrinsics,
+        adjusted_calib_poses,
+        use_frames,
+        result,
+    )

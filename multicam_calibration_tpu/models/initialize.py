@@ -1,0 +1,401 @@
+"""Calibration initialization: intrinsics, per-frame poses, extrinsics chain.
+
+TPU-native replacement for the reference's OpenCV-backed init stage
+(/root/reference/multicam_calibration/calibration.py):
+
+- ``get_intrinsics`` — replaces cv2.calibrateCamera (calibration.py:68-70):
+  Zhang closed-form init (homographies -> image of the absolute conic -> K)
+  followed by a per-camera LM refine of (fx, fy, cx, cy, k1, k2) + board
+  poses using the same Schur LM engine as full bundle adjustment (C=1,
+  extrinsics frozen at identity).
+- ``estimate_pose`` — replaces the per-frame cv2.solvePnP loop
+  (calibration.py:108-110): batched planar-homography pose extraction with a
+  vmapped Gauss-Newton polish; all frames solved in one device program.
+- ``get_camera_spanning_tree`` / ``estimate_all_extrinsics`` /
+  ``consensus_calib_poses`` — same graph/median semantics as
+  calibration.py:116-277 with the medians as masked JAX reductions and the
+  (tiny) tree search in plain Python (no networkx dependency).
+- ``calibrate`` — stage driver with the reference's exact signature/returns
+  (calibration.py:280-373).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.homography import fit_homography
+from ..ops.projection import undistort_points
+from ..ops.reductions import masked_median
+from ..ops.rotation import so3_log
+from ..ops.transforms import (
+    get_transformation_matrix,
+    get_transformation_vector,
+    se3_inverse,
+)
+from .lm_core import LMOptions, lm_solve, project_board_points
+
+__all__ = [
+    "estimate_board_homographies",
+    "intrinsics_from_homographies",
+    "poses_from_homographies",
+    "get_intrinsics",
+    "estimate_pose",
+    "estimate_pairwise_camera_transform",
+    "get_camera_spanning_tree",
+    "estimate_all_extrinsics",
+    "consensus_calib_poses",
+    "calibrate",
+]
+
+
+def estimate_board_homographies(calib_uvs, objpoints, mask=None):
+    """Batched board-plane -> image homographies, one per frame.
+
+    ``calib_uvs``: (F, N, 2) (NaN ok); ``objpoints``: (N, 3) with z=0.
+    Returns (Hs (F, 3, 3), valid (F,)).
+    """
+    if mask is None:
+        mask = jnp.all(jnp.isfinite(calib_uvs), axis=(-1, -2))
+    xy = objpoints[:, :2]
+    uvs = jnp.nan_to_num(calib_uvs)
+    Hs = jax.vmap(lambda uv: fit_homography(xy, uv))(uvs)
+    return Hs, mask
+
+
+def intrinsics_from_homographies(Hs, valid, zero_skew=True):
+    """Zhang's closed-form camera matrix from >= 3 board homographies.
+
+    Each homography contributes two linear constraints on the image of the
+    absolute conic B = K^-T K^-1; K is recovered from B in closed form.
+    Invalid frames are weight-0 rows (static shapes). This is the
+    cv2.calibrateCamera *initialization* stage re-derived (the LM refinement
+    lives in :func:`get_intrinsics`).
+    """
+
+    def v_ij(H, i, j):
+        return jnp.stack(
+            [
+                H[0, i] * H[0, j],
+                H[0, i] * H[1, j] + H[1, i] * H[0, j],
+                H[1, i] * H[1, j],
+                H[2, i] * H[0, j] + H[0, i] * H[2, j],
+                H[2, i] * H[1, j] + H[1, i] * H[2, j],
+                H[2, i] * H[2, j],
+            ]
+        )
+
+    def rows(H):
+        return jnp.stack([v_ij(H, 0, 1), v_ij(H, 0, 0) - v_ij(H, 1, 1)])
+
+    A = jax.vmap(rows)(Hs)  # (F, 2, 6)
+    w = valid.astype(Hs.dtype)[:, None, None]
+    A = (A * w).reshape(-1, 6)
+    if zero_skew:
+        # Strong prior row: B12 = 0 (zero skew), scaled to the data rows.
+        scale = jnp.sqrt(jnp.mean(jnp.sum(A**2, axis=-1)) + 1e-30)
+        skew_row = jnp.array([0.0, 1.0, 0.0, 0.0, 0.0, 0.0], Hs.dtype) * scale
+        A = jnp.concatenate([A, skew_row[None]], axis=0)
+    ATA = A.T @ A
+    _, vecs = jnp.linalg.eigh(ATA)
+    b = vecs[:, 0]
+    b = b * jnp.sign(b[0] + 1e-30)  # B11 > 0 for a valid conic
+    B11, B12, B22, B13, B23, B33 = b[0], b[1], b[2], b[3], b[4], b[5]
+    v0 = (B12 * B13 - B11 * B23) / (B11 * B22 - B12**2)
+    lam = B33 - (B13**2 + v0 * (B12 * B13 - B11 * B23)) / B11
+    alpha = jnp.sqrt(jnp.abs(lam / B11))
+    beta = jnp.sqrt(jnp.abs(lam * B11 / (B11 * B22 - B12**2)))
+    gamma = -B12 * alpha**2 * beta / lam
+    u0 = gamma * v0 / beta - B13 * alpha**2 / lam
+    K = jnp.array(
+        [[alpha, gamma, u0], [0.0, beta, v0], [0.0, 0.0, 1.0]], dtype=Hs.dtype
+    )
+    return K
+
+
+def poses_from_homographies(Hs, K):
+    """Planar pose extraction: H = K [r1 r2 t] (up to scale) -> (F, 6).
+
+    Orthonormalizes [r1 r2 r1xr2] by SVD and flips the scale sign so the
+    board sits in front of the camera (t_z > 0).
+    """
+
+    def one(H):
+        M = jnp.linalg.solve(K, H)
+        lam = 1.0 / jnp.maximum(jnp.linalg.norm(M[:, 0]), 1e-30)
+        # Board must be in front of the camera: t_z > 0 fixes the sign.
+        lam = lam * jnp.sign(M[2, 2] + 1e-30)
+        r1 = M[:, 0] * lam
+        r2 = M[:, 1] * lam
+        t = M[:, 2] * lam
+        r3 = jnp.cross(r1, r2)
+        R_approx = jnp.stack([r1, r2, r3], axis=1)
+        U, _, Vt = jnp.linalg.svd(R_approx)
+        D = jnp.diag(
+            jnp.array([1.0, 1.0, jnp.linalg.det(U @ Vt)], dtype=H.dtype)
+        )
+        R = U @ D @ Vt
+        return jnp.concatenate([so3_log(R), t])
+
+    return jax.vmap(one)(Hs)
+
+
+def _refine_poses_gn(poses, cam12, calib_uvs, mask, objpoints, n_iters=10):
+    """Batched per-frame 6-dof Gauss-Newton polish (replaces solvePnP's LM).
+
+    All frames refine concurrently under vmap; each step is a 6x6 solve.
+    """
+
+    def residual(pose6, uvs, m):
+        pred = project_board_points(cam12, pose6, objpoints)
+        return ((jnp.nan_to_num(uvs) - pred) * m[..., None]).reshape(-1)
+
+    def step(pose6, uvs, m):
+        # J is d(residual)/d(pose) = -d(pred)/d(pose); the GN increment is
+        # -(J^T J)^{-1} J^T r (sign matters: +g would ASCEND the cost).
+        r = residual(pose6, uvs, m)
+        J = jax.jacfwd(residual)(pose6, uvs, m)
+        H = J.T @ J + 1e-8 * jnp.eye(6, dtype=pose6.dtype)
+        g = J.T @ r
+        return pose6 - jnp.linalg.solve(H, g)
+
+    def refine_one(pose6, uvs, m):
+        def body(_, p):
+            return step(p, uvs, m)
+
+        return jax.lax.fori_loop(0, n_iters, body, pose6)
+
+    return jax.vmap(refine_one)(poses, calib_uvs, mask)
+
+
+@jax.jit
+def _estimate_pose_impl(calib_uvs, K, dist, objpoints):
+    mask = jnp.all(jnp.isfinite(calib_uvs), axis=(-1, -2))  # (F,)
+    und = undistort_points(calib_uvs, K, dist)
+    Hs, _ = estimate_board_homographies(und, objpoints, mask)
+    poses0 = poses_from_homographies(Hs, K)
+    poses0 = jnp.where(mask[:, None], poses0, 0.0)
+    cam12 = jnp.concatenate(
+        [
+            jnp.stack([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+            dist[:2],
+            jnp.zeros(6, dtype=calib_uvs.dtype),
+        ]
+    )
+    point_mask = jnp.broadcast_to(mask[:, None], calib_uvs.shape[:2])
+    poses = _refine_poses_gn(poses0, cam12, calib_uvs, point_mask, objpoints)
+    return jnp.where(mask[:, None], poses, jnp.nan)
+
+
+def estimate_pose(calib_uvs, calib_objpoints, camera_matrix, dist_coeffs):
+    """Board pose per frame for one camera; (F, 6) with NaN rows when unseen.
+
+    API parity with reference ``estimate_pose`` (calibration.py:74-113); a
+    frame participates only if all N corners are detected (same rule).
+    Implementation: undistort -> planar homography pose -> GN polish against
+    the full distorted model, batched over frames on device (one jitted
+    program for all frames; compile cached across cameras).
+    """
+    calib_uvs = jnp.asarray(calib_uvs)
+    K = jnp.asarray(camera_matrix, dtype=calib_uvs.dtype)
+    dist = jnp.asarray(dist_coeffs, dtype=calib_uvs.dtype).reshape(-1)
+    objpoints = jnp.asarray(calib_objpoints, dtype=calib_uvs.dtype)
+    return _estimate_pose_impl(calib_uvs, K, dist, objpoints)
+
+
+def get_intrinsics(
+    calib_uvs,
+    calib_objpoints,
+    image_size,
+    n_samples=100,
+    fix_k3=True,
+    zero_tangent_dist=True,
+    seed=0,
+    lm_options=None,
+):
+    """Per-camera intrinsics: Zhang init + Schur-LM refine.
+
+    API parity with reference ``get_intrinsics`` (calibration.py:11-71):
+    random sample of ``n_samples`` fully-detected frames, returns
+    (camera_matrix (3,3), dist_coefs (5,)). The k3/tangential flags are
+    accepted for parity; like the reference defaults they stay zero (the
+    optimized model is k1,k2-radial — bundle_adjustment.py:187).
+    """
+    del fix_k3, zero_tangent_dist  # parity args; model is k1,k2-only
+    calib_uvs = np.asarray(calib_uvs)
+    valid = ~np.isnan(calib_uvs).any((1, 2))
+    valid_ixs = np.nonzero(valid)[0]
+    if len(valid_ixs) < 3:
+        raise ValueError(
+            f"get_intrinsics needs >= 3 fully-detected frames, got "
+            f"{len(valid_ixs)} (Zhang's method requires 3+ board views)"
+        )
+    take = min(n_samples, len(valid_ixs))
+    rng = np.random.default_rng(seed)
+    sample = rng.choice(valid_ixs, take, replace=False)
+    # Pad the sample to a fixed size so every camera shares one compiled
+    # program (padded frames are all-masked and get zero updates).
+    if take < n_samples:
+        sample = np.concatenate([sample, np.full(n_samples - take, sample[0])])
+    uvs = jnp.asarray(np.nan_to_num(calib_uvs[sample]))
+    objpoints = jnp.asarray(calib_objpoints, dtype=uvs.dtype)
+    mask_f = jnp.arange(n_samples) < take
+
+    Hs, _ = estimate_board_homographies(uvs, objpoints, mask_f)
+    K0 = intrinsics_from_homographies(Hs, mask_f)
+    poses0 = poses_from_homographies(Hs, K0)
+
+    # Refine (fx, fy, cx, cy, k1, k2) + poses jointly with the BA engine:
+    # a single-camera bundle adjustment with the camera extrinsics frozen at
+    # identity (gauge: board poses absorb all motion).
+    cam0 = jnp.concatenate(
+        [
+            jnp.stack([K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]]),
+            jnp.zeros(8, dtype=uvs.dtype),
+        ]
+    )[None]
+    cam_free = jnp.concatenate([jnp.ones(6), jnp.zeros(6)])[None]
+    obs = uvs[None]
+    point_mask = jnp.broadcast_to(mask_f[None, :, None], obs.shape[:3])
+    opts = lm_options or LMOptions(max_iters=60, ftol=1e-6, loss="linear")
+    cam_ref, _, _ = lm_solve(
+        cam0, poses0, obs, point_mask, objpoints, opts, cam_free=cam_free
+    )
+    fx, fy, cx, cy, k1, k2 = (float(cam_ref[0, i]) for i in range(6))
+    camera_matrix = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    dist_coefs = np.array([k1, k2, 0.0, 0.0, 0.0])
+    return camera_matrix, dist_coefs
+
+
+def estimate_pairwise_camera_transform(camera1_poses, camera2_poses):
+    """Median relative transform cam1 -> cam2 over co-observed frames.
+
+    Parity with calibration.py:116-143: per-frame T2 @ T1^-1, element-wise
+    median of the 6-vectors (masked median; static shapes).
+    """
+    p1 = jnp.asarray(camera1_poses)
+    p2 = jnp.asarray(camera2_poses)
+    common = jnp.all(jnp.isfinite(p1), -1) & jnp.all(jnp.isfinite(p2), -1)
+    T1 = get_transformation_matrix(jnp.nan_to_num(p1))
+    T2 = get_transformation_matrix(jnp.nan_to_num(p2))
+    T_rel = T2 @ se3_inverse(T1)
+    t_rel = get_transformation_vector(T_rel)  # (F, 6)
+    return masked_median(t_rel, common[:, None], axis=0)
+
+
+def get_camera_spanning_tree(all_calib_poses, root=0):
+    """Maximum spanning tree over shared-detection counts (host-side).
+
+    Parity with calibration.py:146-197 (which delegates to networkx): edges
+    are weighted by co-detection counts, the max spanning tree is found by
+    Prim's algorithm, and edges are returned (parent, child) in BFS order
+    from ``root``. The graph has n_cameras nodes — trivially host-sized.
+    """
+    poses = np.asarray(all_calib_poses)
+    detected = ~np.isnan(poses).any(-1)  # (C, F)
+    n = detected.shape[0]
+    weights = (detected[:, None] & detected[None, :]).sum(-1)
+    in_tree = {root}
+    edges = []
+    adj = {i: [] for i in range(n)}
+    while len(in_tree) < n:
+        best = None
+        for i in sorted(in_tree):
+            for j in range(n):
+                if j in in_tree:
+                    continue
+                if best is None or weights[i, j] > best[2]:
+                    best = (i, j, weights[i, j])
+        i, j, _ = best
+        in_tree.add(j)
+        adj[i].append(j)
+        edges.append((i, j))
+    # BFS order from root, parent-first (matches the reference's sort by
+    # root distance with nearer node first in each tuple).
+    order = []
+    queue = [root]
+    while queue:
+        u = queue.pop(0)
+        for v in adj[u]:
+            order.append((u, v))
+            queue.append(v)
+    return order
+
+
+def estimate_all_extrinsics(all_calib_poses, root=0):
+    """Chain pairwise medians along the spanning tree; root = identity.
+
+    Parity with calibration.py:200-236. Returns ((C, 6) extrinsics, tree).
+    """
+    poses = np.asarray(all_calib_poses)
+    n = poses.shape[0]
+    tree = get_camera_spanning_tree(poses, root=root)
+    T = [None] * n
+    T[root] = np.eye(4)
+    for c1, c2 in tree:
+        t_rel = estimate_pairwise_camera_transform(poses[c1], poses[c2])
+        T[c2] = np.asarray(get_transformation_matrix(t_rel)) @ T[c1]
+    all_extrinsics = np.stack(
+        [np.asarray(get_transformation_vector(jnp.asarray(t))) for t in T]
+    )
+    return all_extrinsics, tree
+
+
+def consensus_calib_poses(all_calib_poses, all_extrinsics):
+    """Median world-frame board pose across cameras, per frame.
+
+    Parity with calibration.py:239-277: T_board2world = T_world2cam^-1 @
+    T_board2cam per camera, element-wise nanmedian of 6-vectors across
+    cameras (masked median here).
+    """
+    poses = jnp.asarray(all_calib_poses)  # (C, F, 6)
+    ext = jnp.asarray(all_extrinsics)  # (C, 6)
+    detected = jnp.all(jnp.isfinite(poses), -1)  # (C, F)
+    T_b2c = get_transformation_matrix(jnp.nan_to_num(poses))
+    T_w2c_inv = se3_inverse(get_transformation_matrix(ext))[:, None]
+    t_b2w = get_transformation_vector(T_w2c_inv @ T_b2c)  # (C, F, 6)
+    return masked_median(t_b2w, detected[..., None], axis=0)
+
+
+def calibrate(
+    all_calib_uvs,
+    img_sizes,
+    calib_objpoints,
+    root=0,
+    verbose=True,
+    n_samples_for_intrinsics=100,
+):
+    """Full initialization pipeline; reference-parity signature and returns
+    (calibration.py:280-373): (all_extrinsics, all_intrinsics,
+    consensus poses, spanning_tree).
+    """
+    n_cameras = len(all_calib_uvs)
+    all_intrinsics = []
+    if verbose:
+        print("Estimating camera intrinsics")
+    for c in range(n_cameras):
+        all_intrinsics.append(
+            get_intrinsics(
+                all_calib_uvs[c],
+                calib_objpoints,
+                img_sizes[c],
+                n_samples=n_samples_for_intrinsics,
+            )
+        )
+    if verbose:
+        print("Initializing calibration object poses")
+    all_calib_poses = np.stack(
+        [
+            np.asarray(
+                estimate_pose(all_calib_uvs[c], calib_objpoints, *all_intrinsics[c])
+            )
+            for c in range(n_cameras)
+        ]
+    )
+    if verbose:
+        print("Estimating camera extrinsics")
+    all_extrinsics, spanning_tree = estimate_all_extrinsics(all_calib_poses, root=root)
+    if verbose:
+        print("Merging calibration object poses")
+    calib_poses = np.asarray(consensus_calib_poses(all_calib_poses, all_extrinsics))
+    return all_extrinsics, all_intrinsics, calib_poses, spanning_tree

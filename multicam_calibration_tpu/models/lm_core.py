@@ -181,10 +181,14 @@ def build_normal_blocks(
 
     def per_cf(cam12, pose6, obs_cf, mask_cf):
         pred, (A, B) = _value_and_jacs(cam12, pose6, objpoints)
-        r = (jnp.nan_to_num(obs_cf) - pred) * mask_cf[..., None]  # (N, 2)
-        w = _robust_weights(r**2, opts) * mask_cf[..., None]  # (N, 2)
-        A = A * w[..., None]  # (N, 2, 12)
-        B = B * w[..., None]  # (N, 2, 6)
+        # Mask via where (NOT multiplication): masked-out entries may hold
+        # NaN/inf (e.g. padded frames whose pose puts points at z=0), and
+        # NaN * 0 would poison the whole normal system.
+        m = mask_cf[..., None]  # (N, 1) -> broadcasts over the uv axis
+        r = jnp.where(m, jnp.nan_to_num(obs_cf) - pred, 0.0)  # (N, 2)
+        w = jnp.where(m, _robust_weights(r**2, opts), 0.0)  # (N, 2)
+        A = jnp.where(m[..., None], A * w[..., None], 0.0)  # (N, 2, 12)
+        B = jnp.where(m[..., None], B * w[..., None], 0.0)  # (N, 2, 6)
         rw = r * w
         U_cf = jnp.einsum("nki,nkj->ij", A, A)
         V_cf = jnp.einsum("nki,nkj->ij", B, B)
@@ -305,6 +309,7 @@ def _blockdiag_embed(blocks, C):
     return out.reshape(12 * C, 12 * C)
 
 
+@functools.partial(jax.jit, static_argnames=("opts", "axis_name"))
 def lm_solve(
     cam_params,
     pose_params,

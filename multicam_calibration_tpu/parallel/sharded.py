@@ -1,0 +1,84 @@
+"""Frame-sharded LM bundle adjustment via shard_map over a device mesh.
+
+Realizes SURVEY.md §5's sharding design: poses + observations are sharded
+along the 'frames' mesh axis, camera parameters are replicated, and each LM
+iteration communicates only the reduced camera system (psum inside
+lm_core.schur_solve) plus scalar costs. The entire optimizer loop runs inside
+one shard_map-ped XLA program — no host round-trips.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..models.lm_core import LMOptions, lm_solve
+
+__all__ = ["sharded_lm_solve"]
+
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_solver(mesh, opts, axis_name, with_cam_free):
+    """Cached jitted shard_map solver (keyed by mesh + options)."""
+
+    def local_solve(cam, poses, obs_l, mask_l, objp, cam_free):
+        return lm_solve(
+            cam, poses, obs_l, mask_l, objp, opts,
+            cam_free=cam_free if with_cam_free else None,
+            axis_name=axis_name,
+        )
+
+    fn = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(
+            P(), P(axis_name), P(None, axis_name), P(None, axis_name), P(), P(),
+        ),
+        out_specs=(P(), P(axis_name), P()),
+    )
+    return jax.jit(fn)
+
+
+def sharded_lm_solve(
+    cam_params,
+    pose_params,
+    obs,
+    mask,
+    objpoints,
+    opts: LMOptions = LMOptions(),
+    mesh=None,
+    axis_name="frames",
+    cam_free=None,
+):
+    """Run lm_solve with frames sharded over ``mesh[axis_name]``.
+
+    Frames are zero-padded to a multiple of the mesh size; padded frames have
+    all-False masks, so their pose blocks are identity-padded in the Schur
+    solve and receive exactly zero updates.
+    """
+    n_dev = mesh.shape[axis_name]
+    F = pose_params.shape[0]
+    F_pad = -(-F // n_dev) * n_dev
+    pad = F_pad - F
+    if pad:
+        pose_params = jnp.concatenate(
+            [pose_params, jnp.zeros((pad, 6), pose_params.dtype)]
+        )
+        obs = jnp.concatenate(
+            [obs, jnp.zeros((obs.shape[0], pad, *obs.shape[2:]), obs.dtype)], axis=1
+        )
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((mask.shape[0], pad, *mask.shape[2:]), bool)], axis=1
+        )
+
+    solver = _build_sharded_solver(mesh, opts, axis_name, cam_free is not None)
+    cam_free_arg = (
+        cam_free if cam_free is not None else jnp.ones_like(cam_params)
+    )
+    cam, poses, info = solver(
+        cam_params, pose_params, obs, mask, objpoints, cam_free_arg
+    )
+    return cam, poses[:F], info

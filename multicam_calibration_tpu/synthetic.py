@@ -109,10 +109,6 @@ def make_camera_ring(
         )
         intrinsics.append((K, dist))
         img_sizes.append(img_size)
-    # Express extrinsics relative to camera 0 (reference convention: root
-    # camera is the world frame, calibration.py:200-236).
-    T0 = _t6_to_T(extrinsics[0])
-    extrinsics = [_T_to_t6(_t6_to_T(e) @ np.linalg.inv(T0)) for e in extrinsics]
     return np.array(extrinsics), intrinsics, img_sizes
 
 
@@ -216,10 +212,18 @@ def make_synthetic_rig(
         n_cameras, radius=radius, height=radius * 0.35, img_size=img_size, rng=rng
     )
     calib_poses = make_board_trajectory(n_frames, rng=rng, scale=radius * 0.3)
-    # Center the board trajectory at the ring center (z=height plane).
-    calib_poses[:, 5] += radius * 0.0
     # Recenter board points around the board centroid so it tumbles in place.
     calib_poses[:, 3:] -= objpoints.mean(0)
+    # Re-express everything with camera 0 as the world frame (reference
+    # convention: root camera extrinsics are the identity,
+    # calibration.py:200-236). Both camera extrinsics AND board poses must be
+    # rebased so projections are unchanged.
+    T0 = _t6_to_T(all_extrinsics[0])
+    T0_inv = np.linalg.inv(T0)
+    all_extrinsics = np.stack(
+        [_T_to_t6(_t6_to_T(e) @ T0_inv) for e in all_extrinsics]
+    )
+    calib_poses = np.stack([_T_to_t6(T0 @ _t6_to_T(p)) for p in calib_poses])
     all_calib_uvs = render_observations(
         all_extrinsics,
         all_intrinsics,

@@ -1,0 +1,276 @@
+"""Init + bundle-adjustment tests on synthetic rigs with known ground truth."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import multicam_calibration_tpu as mct
+from multicam_calibration_tpu.models import initialize as init
+from multicam_calibration_tpu.models.lm_core import LMOptions, lm_solve, compute_cost
+from multicam_calibration_tpu.synthetic import _t6_to_T, _T_to_t6
+
+
+def relative_extrinsics(ext):
+    """Gauge-free representation: each camera relative to camera 0."""
+    T0_inv = np.linalg.inv(_t6_to_T(ext[0]))
+    return np.stack([_T_to_t6(_t6_to_T(e) @ T0_inv) for e in ext])
+
+
+@pytest.fixture(scope="module")
+def rig():
+    return mct.make_synthetic_rig(
+        n_cameras=3, n_frames=60, noise_px=0.3, dropout=0.2, seed=1
+    )
+
+
+@pytest.fixture(scope="module")
+def clean_rig():
+    return mct.make_synthetic_rig(
+        n_cameras=3, n_frames=60, noise_px=0.0, dropout=0.1, seed=2
+    )
+
+
+class TestIntrinsics:
+    def test_zhang_plus_lm_recovers_intrinsics(self, clean_rig):
+        c = 1
+        K_true, dist_true = clean_rig.all_intrinsics[c]
+        K, dist = init.get_intrinsics(
+            clean_rig.all_calib_uvs[c],
+            clean_rig.calib_objpoints,
+            clean_rig.img_sizes[c],
+            n_samples=40,
+        )
+        np.testing.assert_allclose(K[0, 0], K_true[0, 0], rtol=1e-4)
+        np.testing.assert_allclose(K[1, 1], K_true[1, 1], rtol=1e-4)
+        np.testing.assert_allclose(K[0, 2], K_true[0, 2], atol=1.0)
+        np.testing.assert_allclose(K[1, 2], K_true[1, 2], atol=1.0)
+        np.testing.assert_allclose(dist[0], dist_true[0], atol=1e-3)
+        np.testing.assert_allclose(dist[1], dist_true[1], atol=1e-2)
+
+    def test_noisy_intrinsics_reasonable(self, rig):
+        c = 2
+        K_true, _ = rig.all_intrinsics[c]
+        K, dist = init.get_intrinsics(
+            rig.all_calib_uvs[c], rig.calib_objpoints, rig.img_sizes[c], n_samples=40
+        )
+        # Single-camera calibration from 40 noisy frames: a few percent.
+        assert abs(K[0, 0] - K_true[0, 0]) / K_true[0, 0] < 0.05
+
+
+class TestPose:
+    def test_estimate_pose_matches_cv2(self, rig):
+        import cv2
+
+        c = 1
+        K, dist = rig.all_intrinsics[c]
+        uvs = rig.all_calib_uvs[c]
+        poses = np.asarray(
+            init.estimate_pose(uvs, rig.calib_objpoints, K, dist)
+        )
+        valid = ~np.isnan(uvs).any((1, 2))
+        assert np.all(np.isnan(poses[~valid]))
+        for f in np.nonzero(valid)[0][:10]:
+            ok, rvec, tvec = cv2.solvePnP(
+                rig.calib_objpoints, uvs[f], K, dist
+            )
+            assert ok
+            oracle = np.concatenate([rvec.ravel(), tvec.ravel()])
+            np.testing.assert_allclose(poses[f], oracle, atol=0.5)
+
+    def test_pose_reprojects(self, clean_rig):
+        c = 0
+        K, dist = clean_rig.all_intrinsics[c]
+        uvs = clean_rig.all_calib_uvs[c]
+        poses = np.asarray(
+            init.estimate_pose(uvs, clean_rig.calib_objpoints, K, dist)
+        )
+        valid = ~np.isnan(uvs).any((1, 2))
+        f = np.nonzero(valid)[0][0]
+        pred = np.asarray(
+            mct.project_points(
+                mct.apply_rigid_transform(
+                    jnp.asarray(poses[f]), jnp.asarray(clean_rig.calib_objpoints)
+                ),
+                jnp.zeros(6),
+                jnp.asarray(K),
+                jnp.asarray(dist),
+            )
+        )
+        np.testing.assert_allclose(pred, uvs[f], atol=1e-3)
+
+
+class TestSpanningTree:
+    def test_tree_structure(self):
+        # Camera 1 shares frames with 0 and 2; 0-2 share nothing.
+        poses = np.full((3, 10, 6), np.nan)
+        poses[0, :6] = 0.0
+        poses[1, 2:8] = 0.0
+        poses[2, 5:] = 0.0
+        tree = init.get_camera_spanning_tree(poses, root=0)
+        assert tree == [(0, 1), (1, 2)]
+
+    def test_extrinsics_chain(self, rig):
+        all_poses = np.stack(
+            [
+                np.asarray(
+                    init.estimate_pose(
+                        rig.all_calib_uvs[c], rig.calib_objpoints, *rig.all_intrinsics[c]
+                    )
+                )
+                for c in range(rig.n_cameras)
+            ]
+        )
+        ext, tree = init.estimate_all_extrinsics(all_poses)
+        np.testing.assert_allclose(ext[0], 0.0, atol=1e-12)
+        rel_est = relative_extrinsics(ext)
+        rel_true = relative_extrinsics(rig.all_extrinsics)
+        np.testing.assert_allclose(rel_est[:, :3], rel_true[:, :3], atol=0.01)
+        np.testing.assert_allclose(rel_est[:, 3:], rel_true[:, 3:], atol=5.0)
+
+
+class TestCalibrate:
+    def test_end_to_end_init(self, rig):
+        ext, intr, poses, tree = mct.calibrate(
+            rig.all_calib_uvs,
+            rig.img_sizes,
+            rig.calib_objpoints,
+            verbose=False,
+            n_samples_for_intrinsics=40,
+        )
+        rel_est = relative_extrinsics(ext)
+        rel_true = relative_extrinsics(rig.all_extrinsics)
+        # Init stage: rotations within ~0.05 rad, translations within ~5%.
+        np.testing.assert_allclose(rel_est[:, :3], rel_true[:, :3], atol=0.05)
+        assert (
+            np.linalg.norm(rel_est[:, 3:] - rel_true[:, 3:], axis=-1).max()
+            / np.linalg.norm(rel_true[1, 3:])
+            < 0.05
+        )
+        # Consensus poses exist wherever any camera saw the board.
+        seen = (~np.isnan(rig.all_calib_uvs).any((-1, -2))).any(0)
+        assert np.all(~np.isnan(poses[seen]))
+
+
+class TestBundleAdjust:
+    @pytest.fixture(scope="class")
+    def ba_result(self, rig):
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs,
+            rig.img_sizes,
+            rig.calib_objpoints,
+            verbose=False,
+            n_samples_for_intrinsics=40,
+        )
+        adj = mct.bundle_adjust(
+            rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+            verbose=False,
+        )
+        return ext, intr, poses, adj
+
+    def test_cost_decreases(self, ba_result):
+        _, _, _, (adj_ext, adj_intr, adj_poses, use_frames, res) = ba_result
+        assert res["final_cost"] < res["initial_cost"]
+        assert res["n_iters"] >= 1
+
+    def test_rmse_at_noise_floor(self, rig, ba_result):
+        _, _, _, (adj_ext, adj_intr, adj_poses, use_frames, res) = ba_result
+        pred = np.asarray(
+            mct.predict_calib_uvs(
+                adj_ext, adj_intr, rig.calib_objpoints, adj_poses
+            )
+        )
+        err = np.linalg.norm(rig.all_calib_uvs[:, use_frames] - pred, axis=-1)
+        rmse = np.sqrt(np.nanmean(err**2))
+        # Noise is 0.3 px/axis -> point-error floor ~0.42 px.
+        assert rmse < 0.5
+
+    def test_recovers_rig_geometry(self, rig, ba_result):
+        _, _, _, (adj_ext, adj_intr, adj_poses, use_frames, res) = ba_result
+        rel_est = relative_extrinsics(adj_ext)
+        rel_true = relative_extrinsics(rig.all_extrinsics)
+        np.testing.assert_allclose(rel_est[:, :3], rel_true[:, :3], atol=0.01)
+        # ~0.5% of the 1.25 m rig radius: the statistical limit for 53
+        # frames at 0.3 px noise (scipy TRF reaches the same cost basin,
+        # see test_matches_scipy_trf_quality).
+        assert np.linalg.norm(rel_est[:, 3:] - rel_true[:, 3:], axis=-1).max() < 8.0
+
+    def test_serialize_roundtrip(self, rig):
+        ext = rig.all_extrinsics
+        intr = rig.all_intrinsics
+        poses = rig.calib_poses
+        x = mct.serialize_params(ext, intr, poses)
+        assert x.shape == (12 * rig.n_cameras + 6 * rig.n_frames,)
+        ext2, intr2, poses2 = mct.deserialize_params(x, rig.n_cameras)
+        np.testing.assert_allclose(ext2, ext)
+        np.testing.assert_allclose(poses2, poses)
+        for (K1, d1), (K2, d2) in zip(intr, intr2):
+            np.testing.assert_allclose(K2, K1)
+            np.testing.assert_allclose(d2[:2], d1[:2])
+
+    def test_matches_scipy_trf_quality(self, rig):
+        """Our LM must reach (at least) scipy TRF's cost on the same problem."""
+        from scipy.optimize import least_squares
+
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=40,
+        )
+        full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
+        use = np.nonzero(full.sum(0) > 1)[0]
+        obs = rig.all_calib_uvs[:, use]
+        x0 = mct.serialize_params(ext, intr, np.asarray(poses)[use])
+        A = mct.bundle_adjustment_sparsity(obs)
+        res_scipy = least_squares(
+            mct.residuals, x0, jac_sparsity=A, verbose=0,
+            x_scale="jac", ftol=1e-4, method="trf", loss="soft_l1",
+            args=(obs, rig.calib_objpoints),
+        )
+        adj = mct.bundle_adjust(
+            rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+            outlier_threshold=np.inf, verbose=False,
+        )
+        ours_cost = float(adj[4]["final_cost"])
+        # within 2% of scipy's converged robust cost (ftol=1e-4 both)
+        assert ours_cost <= res_scipy.cost * 1.02
+
+
+class TestShardedLM:
+    def test_sharded_matches_single_device(self, rig):
+        from multicam_calibration_tpu.parallel import (
+            make_frame_mesh,
+            sharded_lm_solve,
+        )
+
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=40,
+        )
+        full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
+        use = np.nonzero(full.sum(0) > 1)[0]
+        obs_np = rig.all_calib_uvs[:, use]
+        mask = jnp.asarray(~np.isnan(obs_np).any(-1))
+        obs = jnp.asarray(np.nan_to_num(obs_np))
+        from multicam_calibration_tpu.models.bundle_adjustment import (
+            _params_to_arrays,
+        )
+
+        cam0 = jnp.asarray(_params_to_arrays(ext, intr))
+        poses0 = jnp.asarray(np.asarray(poses)[use])
+        objp = jnp.asarray(rig.calib_objpoints)
+        opts = LMOptions(max_iters=20)
+
+        cam_s, poses_s, info_s = lm_solve(cam0, poses0, obs, mask, objp, opts)
+
+        mesh = make_frame_mesh()
+        assert mesh.devices.size == 8
+        cam_m, poses_m, info_m = sharded_lm_solve(
+            cam0, poses0, obs, mask, objp, opts, mesh=mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(info_m["final_cost"]),
+            np.asarray(info_s["final_cost"]),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cam_m), np.asarray(cam_s), rtol=1e-4, atol=1e-5
+        )
