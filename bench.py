@@ -1,0 +1,132 @@
+"""Benchmark: Schur-LM bundle adjustment vs the measured reference baseline.
+
+Runs the flagship workload (6-camera rig, N=35-point board) on the default
+JAX platform (the real TPU chip under the driver; CPU if forced) and prints
+ONE JSON line:
+
+    {"metric": "ba_lm_iterations_per_s", "value": ..., "unit": "iter/s",
+     "vs_baseline": ...}
+
+vs_baseline is the end-to-end BA wall-clock speedup over the reference's
+scipy-TRF solver measured on this machine's CPU for the same synthetic
+workload (scripts/measure_reference_baseline.py -> BASELINE_MEASURED.json);
+the reference publishes no numbers of its own (BASELINE.md).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_CAMERAS = 6
+N_FRAMES = 1000
+SEED = 11
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import multicam_calibration_tpu as mct
+    from multicam_calibration_tpu.models.bundle_adjustment import _params_to_arrays
+    from multicam_calibration_tpu.models.lm_core import LMOptions, lm_solve
+
+    dtype = jnp.float32
+
+    rig = mct.make_synthetic_rig(
+        n_cameras=N_CAMERAS, n_frames=N_FRAMES, noise_px=0.3, dropout=0.25,
+        seed=SEED,
+    )
+    # Identical init path to the baseline measurement (scripts/...): both
+    # solvers start from the same x0 and run to the same ftol.
+    with jax.default_device(jax.devices("cpu")[0]):
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=50,
+        )
+    obs_np = rig.all_calib_uvs
+    mask_np = ~np.isnan(obs_np).any(-1)
+    cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=dtype)
+    poses0 = jnp.asarray(np.nan_to_num(np.asarray(poses)), dtype=dtype)
+    obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
+    mask = jnp.asarray(mask_np)
+    objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
+
+    opts = LMOptions()  # reference-equivalent: soft_l1, ftol=1e-4
+
+    # Warm-up (compile) ...
+    out = lm_solve(cam0, poses0, obs, mask, objp, opts)
+    jax.block_until_ready(out[0])
+    # ... then timed runs (compile excluded). Each run perturbs the starting
+    # point slightly so no layer (including this container's remote-execution
+    # relay) can short-circuit a repeated identical computation; all outputs
+    # are materialized to host before the clock stops.
+    walls, iters = [], []
+    for k in range(3):
+        cam_k = cam0 + jnp.float32(1e-5) * (k + 1)
+        t0 = time.time()
+        cam, poses_adj, info = lm_solve(cam_k, poses0, obs, mask, objp, opts)
+        n_iters = int(info["n_iters"])  # device->host sync
+        _ = np.asarray(cam)
+        walls.append(time.time() - t0)
+        iters.append(n_iters)
+    wall = float(np.median(walls))
+    n_iters = iters[int(np.argsort(walls)[len(walls) // 2])]
+    iters_per_s = n_iters / wall
+
+    # Quality gate: reprojection RMSE at the solution.
+    pred_ext = np.asarray(cam[:, 6:12], dtype=np.float64)
+    intr_out = [
+        (
+            np.array(
+                [[c[0], 0, c[2]], [0, c[1], c[3]], [0, 0, 1.0]]
+            ),
+            np.array([c[4], c[5], 0, 0, 0]),
+        )
+        for c in np.asarray(cam, dtype=np.float64)
+    ]
+    pred = np.asarray(
+        mct.predict_calib_uvs(
+            pred_ext, intr_out, rig.calib_objpoints,
+            np.asarray(poses_adj, dtype=np.float64),
+        )
+    )
+    err = np.linalg.norm(obs_np - pred, axis=-1)
+    rmse = float(np.sqrt(np.nanmean(np.where(mask_np, err, np.nan) ** 2)))
+
+    vs_baseline = 0.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        cases = json.load(open(base_path))["cases"]
+        match = [
+            c for c in cases
+            if c["n_cameras"] == N_CAMERAS and c["n_frames_requested"] == N_FRAMES
+        ]
+        if match:
+            # End-to-end wall-clock speedup at matched convergence target.
+            vs_baseline = match[-1]["wall_s"] / wall
+
+    print(
+        json.dumps(
+            {
+                "metric": "ba_lm_iterations_per_s",
+                "value": round(iters_per_s, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(vs_baseline, 3),
+                "detail": {
+                    "workload": f"{N_CAMERAS}cam x {N_FRAMES}frames x 35pts",
+                    "wall_s": round(wall, 4),
+                    "n_iters": n_iters,
+                    "final_rmse_px": round(rmse, 4),
+                    "platform": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

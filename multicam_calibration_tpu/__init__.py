@@ -29,6 +29,22 @@ from .models.bundle_adjustment import (
     serialize_params,
 )
 from .models.lm_core import LMOptions
+from .models.flatibration import (
+    center_arena,
+    flatibrate,
+    flip_z_axis,
+    get_floor_points,
+)
+from .utils.io import load_calibration, save_calibration
+from .viz import (
+    compute_residual_metric,
+    overlay_detections,
+    pad_axis_limits,
+    plot_residuals,
+    plot_shared_detections,
+    set_axis_limits,
+    visualize_flatibration,
+)
 from .detection.board import generate_chessboard_objpoints
 from .synthetic import make_synthetic_rig
 
@@ -48,6 +64,19 @@ __all__ = list(_ops_all) + [
     "residuals",
     "serialize_params",
     "LMOptions",
+    "center_arena",
+    "flatibrate",
+    "flip_z_axis",
+    "get_floor_points",
+    "load_calibration",
+    "save_calibration",
+    "compute_residual_metric",
+    "overlay_detections",
+    "pad_axis_limits",
+    "plot_residuals",
+    "plot_shared_detections",
+    "set_axis_limits",
+    "visualize_flatibration",
     "generate_chessboard_objpoints",
     "make_synthetic_rig",
 ]

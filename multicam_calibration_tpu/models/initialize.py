@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.homography import fit_homography
+from ..ops.precision import with_highest_precision
 from ..ops.projection import undistort_points
 from ..ops.reductions import masked_median
 from ..ops.rotation import so3_log
@@ -169,6 +170,7 @@ def _refine_poses_gn(poses, cam12, calib_uvs, mask, objpoints, n_iters=10):
 
 
 @jax.jit
+@with_highest_precision
 def _estimate_pose_impl(calib_uvs, K, dist, objpoints):
     mask = jnp.all(jnp.isfinite(calib_uvs), axis=(-1, -2))  # (F,)
     und = undistort_points(calib_uvs, K, dist)

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.precision import with_highest_precision
 from ..ops.projection import distort_normalized
 from ..ops.rotation import so3_exp
 
@@ -310,6 +311,7 @@ def _blockdiag_embed(blocks, C):
 
 
 @functools.partial(jax.jit, static_argnames=("opts", "axis_name"))
+@with_highest_precision
 def lm_solve(
     cam_params,
     pose_params,

@@ -59,32 +59,44 @@ def so3_exp(r):
 def so3_log(R):
     """Rotation matrices (...,3,3) -> axis-angle vectors (...,3).
 
-    Matches the reference's arccos/trace formulation
-    (geometry.py:38-65) but is safe at theta=0; like the reference it is
-    ill-conditioned exactly at theta=pi (measure-zero; the calibration
-    pipelines never produce it because relative poses are well within pi).
+    Uniformly stable quaternion-based log: unlike the reference's
+    arccos/trace formula (geometry.py:38-65), which silently returns the
+    ZERO rotation at theta = pi (e.g. for flip_z_axis's diag(1,-1,-1)),
+    this is accurate on all of SO(3) including theta -> 0 and theta -> pi.
+    Branch-free (max-component quaternion extraction) so it vmaps/jits.
     """
-    v = jnp.stack(
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    # Four candidate unnormalized quaternions, each numerically best when
+    # its leading component dominates (Shepperd's method).
+    t_w = 1.0 + m00 + m11 + m22  # = 4 w^2
+    t_x = 1.0 + m00 - m11 - m22  # = 4 x^2
+    t_y = 1.0 - m00 + m11 - m22
+    t_z = 1.0 - m00 - m11 + m22
+    cand = jnp.stack(
         [
-            R[..., 2, 1] - R[..., 1, 2],
-            R[..., 0, 2] - R[..., 2, 0],
-            R[..., 1, 0] - R[..., 0, 1],
+            jnp.stack([t_w, m21 - m12, m02 - m20, m10 - m01], axis=-1),
+            jnp.stack([m21 - m12, t_x, m01 + m10, m02 + m20], axis=-1),
+            jnp.stack([m02 - m20, m01 + m10, t_y, m12 + m21], axis=-1),
+            jnp.stack([m10 - m01, m02 + m20, m12 + m21, t_z], axis=-1),
         ],
-        axis=-1,
-    )
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # v = 2 sin(theta) * axis  =>  r = theta * v / (2 sin(theta)) = v * g(theta)
-    # with g(t) = t / (2 sin t) -> 1/2 as t -> 0.
-    sin_theta = jnp.sin(theta)
-    small = theta < 1e-6
-    g = jnp.where(
-        small,
-        0.5 + theta**2 / 12.0,
-        theta / jnp.where(small, 1.0, 2.0 * sin_theta),
-    )
-    return v * g[..., None]
+        axis=-2,
+    )  # (..., 4 candidates, 4 components)
+    ts = jnp.stack([t_w, t_x, t_y, t_z], axis=-1)
+    best = jnp.argmax(ts, axis=-1)
+    q = jnp.take_along_axis(cand, best[..., None, None], axis=-2)[..., 0, :]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # Canonical sign: w >= 0 (theta in [0, pi]).
+    q = q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
+    w = q[..., 0]
+    qv = q[..., 1:]
+    n = jnp.linalg.norm(qv, axis=-1)
+    # r = 2 atan2(n, w)/n * qv ; as n -> 0 the scale -> 2/w.
+    small = n < 1e-8
+    safe_n = jnp.where(small, 1.0, n)
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-30), 2.0 * jnp.arctan2(n, w) / safe_n)
+    return qv * scale[..., None]
 
 
 # Reference-compatible aliases (multicam_calibration.geometry.rodrigues /
