@@ -47,10 +47,21 @@ def main():
             rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
             verbose=False, n_samples_for_intrinsics=50,
         )
-    obs_np = rig.all_calib_uvs
+    # Same frame selection as the measured reference run (identical code
+    # path -> identical frames): >= 2-camera frames, default 5 x median
+    # outlier exclusion, no subsampling.
+    from multicam_calibration_tpu.models.bundle_adjustment import select_ba_frames
+
+    use_frames = select_ba_frames(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        n_frames=None, verbose=False,
+    )
+    obs_np = rig.all_calib_uvs[:, use_frames]
     mask_np = ~np.isnan(obs_np).any(-1)
     cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=dtype)
-    poses0 = jnp.asarray(np.nan_to_num(np.asarray(poses)), dtype=dtype)
+    poses0 = jnp.asarray(
+        np.nan_to_num(np.asarray(poses)[use_frames]), dtype=dtype
+    )
     obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
     mask = jnp.asarray(mask_np)
     objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
@@ -96,8 +107,10 @@ def main():
     )
     err = np.linalg.norm(obs_np - pred, axis=-1)
     rmse = float(np.sqrt(np.nanmean(np.where(mask_np, err, np.nan) ** 2)))
+    final_cost = float(info["final_cost"])
 
     vs_baseline = 0.0
+    quality_ok = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.exists(base_path):
         cases = json.load(open(base_path))["cases"]
@@ -106,8 +119,12 @@ def main():
             if c["n_cameras"] == N_CAMERAS and c["n_frames_requested"] == N_FRAMES
         ]
         if match:
-            # End-to-end wall-clock speedup at matched convergence target.
-            vs_baseline = match[-1]["wall_s"] / wall
+            # End-to-end wall-clock speedup at matched convergence quality:
+            # only claim the speedup if our robust cost is within 5% of the
+            # reference solver's converged cost on the identical problem.
+            ref = match[-1]
+            quality_ok = bool(final_cost <= ref["cost"] * 1.05)
+            vs_baseline = ref["wall_s"] / wall if quality_ok else 0.0
 
     print(
         json.dumps(
@@ -120,7 +137,9 @@ def main():
                     "workload": f"{N_CAMERAS}cam x {N_FRAMES}frames x 35pts",
                     "wall_s": round(wall, 4),
                     "n_iters": n_iters,
+                    "final_cost": round(final_cost, 2),
                     "final_rmse_px": round(rmse, 4),
+                    "quality_vs_ref_ok": quality_ok,
                     "platform": jax.default_backend(),
                 },
             }

@@ -26,6 +26,7 @@ from .models.bundle_adjustment import (
     embed_calib_objpoints,
     predict_calib_uvs,
     residuals,
+    select_ba_frames,
     serialize_params,
 )
 from .models.lm_core import LMOptions
@@ -45,7 +46,16 @@ from .viz import (
     set_axis_limits,
     visualize_flatibration,
 )
-from .detection.board import generate_chessboard_objpoints
+from .detection import (
+    detect_chessboard,
+    detect_chessboard_batch,
+    extend_grid,
+    generate_chessboard_objpoints,
+    process_video,
+    reorder_chessboard_corners,
+    run_calibration_detection,
+    summarize_detections,
+)
 from .synthetic import make_synthetic_rig
 
 __all__ = list(_ops_all) + [
@@ -62,6 +72,7 @@ __all__ = list(_ops_all) + [
     "embed_calib_objpoints",
     "predict_calib_uvs",
     "residuals",
+    "select_ba_frames",
     "serialize_params",
     "LMOptions",
     "center_arena",
@@ -78,6 +89,13 @@ __all__ = list(_ops_all) + [
     "set_axis_limits",
     "visualize_flatibration",
     "generate_chessboard_objpoints",
+    "detect_chessboard",
+    "detect_chessboard_batch",
+    "extend_grid",
+    "process_video",
+    "reorder_chessboard_corners",
+    "run_calibration_detection",
+    "summarize_detections",
     "make_synthetic_rig",
 ]
 

@@ -300,21 +300,22 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
     if len(grid) < n_needed:
         return None
 
-    # Extract the best complete rows x cols (or cols x rows) window.
+    # Extract a complete window whose spans match {rows, cols}, then emit in
+    # the REFERENCE's uvs convention: consecutive points step along the
+    # board_shape[0]-point axis, i.e. uvs.reshape(board_shape[1],
+    # board_shape[0], 2) recovers the lattice (detection.py:461 reshape).
     keys = np.array(list(grid.keys()))
     imin, jmin = keys.min(0)
     imax, jmax = keys.max(0)
-    for (nr, nc) in ((rows, cols), (cols, rows)):
+    for (nr, nc) in ((cols, rows), (rows, cols)):
         for i0 in range(imin, imax - nr + 2):
             for j0 in range(jmin, jmax - nc + 2):
                 cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
                 if all(c in grid for c in cells):
                     uvs = np.stack([pts[grid[c]] for c in cells])
-                    # Row-major with shape (nr, nc); transpose to match
-                    # the reference's (cols, rows) reshape convention if
-                    # the window came out cols-first.
                     uv_grid = uvs.reshape(nr, nc, 2)
-                    if (nr, nc) == (cols, rows):
+                    if (nr, nc) == (rows, cols):
+                        # Make axis0 the cols-count axis.
                         uv_grid = uv_grid.transpose(1, 0, 2)
                     return uv_grid.reshape(-1, 2)
     return None

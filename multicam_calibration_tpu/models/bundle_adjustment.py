@@ -156,6 +156,56 @@ def _arrays_to_params(cam):
     return all_extrinsics, all_intrinsics
 
 
+def select_ba_frames(
+    all_calib_uvs,
+    all_extrinsics,
+    all_intrinsics,
+    calib_objpoints,
+    calib_poses,
+    n_frames=10000,
+    outlier_threshold=None,
+    seed=0,
+    verbose=True,
+):
+    """Frame selection for BA: >=2-camera frames minus outliers, subsampled.
+
+    Exactly the reference's rules (bundle_adjustment.py:266-296): frames
+    fully detected by >= 2 cameras; drop frames whose worst per-camera mean
+    reprojection error exceeds ``outlier_threshold`` (default 5 x median
+    error at the initial parameters); random-subsample to ``n_frames``.
+    Shared by bundle_adjust and the benchmark harness so both solvers see
+    identical problems.
+    """
+    import warnings
+
+    all_calib_uvs = np.asarray(all_calib_uvs)
+    full = ~np.isnan(all_calib_uvs).any((-1, -2))
+    use_frames = np.nonzero(full.sum(0) > 1)[0]
+    pred = np.asarray(
+        predict_calib_uvs(
+            all_extrinsics, all_intrinsics, calib_objpoints,
+            np.asarray(calib_poses)[use_frames],
+        )
+    )
+    err = np.linalg.norm(all_calib_uvs[:, use_frames] - pred, axis=-1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", category=RuntimeWarning)
+        worst_mean_err = np.nanmax(np.nanmean(err, axis=-1), axis=0)
+        if outlier_threshold is None:
+            outlier_threshold = 5 * np.nanmedian(err)
+    exclude = np.nan_to_num(worst_mean_err) > outlier_threshold
+    use_frames = use_frames[~exclude]
+    if verbose:
+        print(
+            f"Excluding {int(exclude.sum())} out of {len(use_frames)} frames "
+            f"based on an outlier threshold of {outlier_threshold}"
+        )
+    if n_frames is not None and n_frames < len(use_frames):
+        rng = np.random.default_rng(seed)
+        use_frames = np.sort(rng.choice(use_frames, n_frames, replace=False))
+    return use_frames
+
+
 def bundle_adjust(
     all_calib_uvs,
     all_extrinsics,
@@ -188,39 +238,11 @@ def bundle_adjust(
     all_calib_uvs = np.asarray(all_calib_uvs)
     n_cameras = all_calib_uvs.shape[0]
 
-    full = ~np.isnan(all_calib_uvs).any((-1, -2))  # (C, F) full detections
-    use_frames = np.nonzero(full.sum(0) > 1)[0]
-
-    # Outlier-frame exclusion at the initial parameters (reference rule).
-    pred = np.asarray(
-        predict_calib_uvs(
-            all_extrinsics, all_intrinsics, calib_objpoints,
-            np.asarray(calib_poses)[use_frames],
-        )
+    use_frames = select_ba_frames(
+        all_calib_uvs, all_extrinsics, all_intrinsics, calib_objpoints,
+        calib_poses, n_frames=n_frames, outlier_threshold=outlier_threshold,
+        seed=seed, verbose=verbose,
     )
-    err = np.linalg.norm(all_calib_uvs[:, use_frames] - pred, axis=-1)
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", category=RuntimeWarning)
-        worst_mean_err = np.nanmax(np.nanmean(err, axis=-1), axis=0)
-    if outlier_threshold is None:
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", category=RuntimeWarning)
-            outlier_threshold = 5 * np.nanmedian(err)
-    exclude = np.nan_to_num(worst_mean_err) > outlier_threshold
-    use_frames = use_frames[~exclude]
-    if verbose:
-        print(
-            f"Excluding {int(exclude.sum())} out of {len(use_frames)} frames "
-            f"based on an outlier threshold of {outlier_threshold}"
-        )
-
-    if n_frames is None or n_frames > len(use_frames):
-        n_frames = len(use_frames)
-    else:
-        rng = np.random.default_rng(seed)
-        use_frames = np.sort(rng.choice(use_frames, n_frames, replace=False))
 
     obs_np = all_calib_uvs[:, use_frames]
     mask_np = ~np.isnan(obs_np).any(-1)  # (C, F, N) per-point mask

@@ -169,6 +169,36 @@ def _refine_poses_gn(poses, cam12, calib_uvs, mask, objpoints, n_iters=10):
     return jax.vmap(refine_one)(poses, calib_uvs, mask)
 
 
+def _twin_planar_pose(pose6):
+    """The second solution of the planar-pose ambiguity (batched, (F, 6)).
+
+    Planar PnP has two local minima at shallow viewing angles
+    (Schweighofer & Pinz): the board normal n reflects across the line of
+    sight v. Construct the twin by rotating the pose so n -> 2(v.n)v - n.
+    Polishing BOTH candidates and keeping the lower-residual one removes the
+    tilt-flip outliers that otherwise poison extrinsics chaining and BA
+    (cv2.solvePnP's iterative solver — the reference's delegate — has the
+    same failure mode and no such guard).
+    """
+    from ..ops.rotation import so3_exp, so3_log
+
+    R = so3_exp(pose6[..., :3])
+    t = pose6[..., 3:]
+    n = R[..., :, 2]  # board normal in camera frame
+    v = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    dot = jnp.sum(v * n, axis=-1, keepdims=True)
+    n2 = 2.0 * dot * v - n
+    # Rotation taking n -> n2 (about axis n x n2).
+    axis = jnp.cross(n, n2)
+    sin = jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    cos = jnp.clip(jnp.sum(n * n2, axis=-1, keepdims=True), -1.0, 1.0)
+    angle = jnp.arctan2(sin, cos)
+    axis_unit = axis / jnp.maximum(sin, 1e-12)
+    r_align = jnp.where(sin > 1e-8, axis_unit * angle, jnp.zeros_like(axis))
+    R_twin = so3_exp(r_align) @ R
+    return jnp.concatenate([so3_log(R_twin), t], axis=-1)
+
+
 @jax.jit
 @with_highest_precision
 def _estimate_pose_impl(calib_uvs, K, dist, objpoints):
@@ -185,7 +215,23 @@ def _estimate_pose_impl(calib_uvs, K, dist, objpoints):
         ]
     )
     point_mask = jnp.broadcast_to(mask[:, None], calib_uvs.shape[:2])
-    poses = _refine_poses_gn(poses0, cam12, calib_uvs, point_mask, objpoints)
+    # Polish both branches of the planar-pose ambiguity; keep the better.
+    poses_a = _refine_poses_gn(poses0, cam12, calib_uvs, point_mask, objpoints)
+    poses_b = _refine_poses_gn(
+        _twin_planar_pose(poses_a), cam12, calib_uvs, point_mask, objpoints
+    )
+
+    def sq_err(poses):
+        pred = jax.vmap(project_board_points, in_axes=(None, 0, None))(
+            cam12, poses, objpoints
+        )
+        r = jnp.where(
+            point_mask[..., None], jnp.nan_to_num(calib_uvs) - pred, 0.0
+        )
+        return jnp.sum(r**2, axis=(-1, -2))
+
+    better_b = sq_err(poses_b) < sq_err(poses_a)
+    poses = jnp.where(better_b[:, None], poses_b, poses_a)
     return jnp.where(mask[:, None], poses, jnp.nan)
 
 

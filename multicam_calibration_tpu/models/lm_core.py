@@ -388,8 +388,8 @@ def lm_solve(
             jnp.zeros((), bool),
             state.lam,
         )
-        cam_n, poses_n, cost_n, lam_n, _, accepted, lam_used = lax.while_loop(
-            inner_cond, inner_body, init
+        cam_n, poses_n, cost_n, lam_n, tries_used, accepted, lam_used = (
+            lax.while_loop(inner_cond, inner_body, init)
         )
 
         # On acceptance relax damping; on total failure keep raised lambda.
@@ -399,7 +399,12 @@ def lm_solve(
             opts.max_lambda,
         )
         rel_drop = (state.cost - cost_n) / jnp.maximum(state.cost, 1e-30)
-        done = (~accepted) | (accepted & (rel_drop < opts.ftol)) | (
+        # ftol convergence only counts on an UNthrottled step (accepted at
+        # the first damping try): a small drop forced by a temporarily high
+        # lambda mid-descent is not convergence (scipy TRF keeps going in
+        # that situation too — it shrinks the trust region and retries).
+        easy_step = accepted & (tries_used == 1)
+        done = (~accepted) | (easy_step & (rel_drop < opts.ftol)) | (
             grad_norm < opts.gtol
         )
         return LMState(cam_n, poses_n, lam_next, cost_n, state.it + 1, done)

@@ -49,7 +49,7 @@ def run_case(n_cameras, n_frames, noise_px=0.3, dropout=0.25, seed=11):
     t0 = time.time()
     out = ref_ba.bundle_adjust(
         rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
-        n_frames=None, outlier_threshold=np.inf, verbose=2,
+        n_frames=None, verbose=2,  # reference defaults: 5 x median outlier rule
     )
     wall = time.time() - t0
     result = out[4]

@@ -1,0 +1,162 @@
+"""Detection tests: TPU detector vs ground truth + cv2 oracle, video layer."""
+import os
+
+import numpy as np
+import pytest
+
+import multicam_calibration_tpu as mct
+from multicam_calibration_tpu.detection.synthetic_images import (
+    random_view_homography,
+    render_board_view,
+)
+
+BOARD = (5, 7)
+
+
+def make_view(seed, noise=1.5, **kw):
+    rng = np.random.default_rng(seed)
+    H = random_view_homography(rng, board_shape=BOARD, **kw)
+    return render_board_view(
+        H, out_size=(480, 640), board_shape=BOARD, noise=noise, seed=seed
+    )
+
+
+class TestDetector:
+    def test_detection_rate_and_accuracy(self):
+        n_ok = 0
+        rms_all = []
+        for seed in range(8):
+            view, gt = make_view(seed)
+            det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+            if det is None:
+                continue
+            uvs, scores = det
+            d = np.linalg.norm(uvs[:, None] - gt[None], axis=-1)
+            rms = np.sqrt((d.min(0) ** 2).mean())
+            rms_all.append(rms)
+            # Anchor-resolved orientation: corner 0 is the gt corner nearest
+            # the anchor circle (gt index 0 by construction).
+            if rms < 1.0 and np.linalg.norm(uvs[0] - gt[0]) < 2.0:
+                n_ok += 1
+        # Docs expectation is > 50% detection (troubleshooting.rst); we
+        # require far better on clean synthetic views.
+        assert n_ok >= 7, f"only {n_ok}/8 views detected+oriented correctly"
+        assert np.median(rms_all) < 0.6
+
+    def test_anchor_gap_rejects_ambiguity(self):
+        # Without an anchor on the board, the four match scores are close
+        # and the 0.2-gap rule must reject the detection.
+        from multicam_calibration_tpu.detection.synthetic_images import (
+            render_board_image,
+        )
+        import cv2
+
+        rng = np.random.default_rng(3)
+        H = random_view_homography(rng, board_shape=BOARD)
+        canonical, corners = render_board_image(BOARD, 40, anchor=False)
+        view = cv2.warpPerspective(canonical, H, (640, 480), borderValue=180.0)
+        view = cv2.GaussianBlur(view, (0, 0), 1.0)
+        det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+        assert det is None
+
+    def test_subpixel_vs_cv2(self):
+        import cv2
+
+        view, gt = make_view(2, noise=0.5)
+        det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+        assert det is not None
+        uvs = det[0]
+        ret, corners = cv2.findChessboardCorners(
+            view.astype(np.uint8), BOARD, cv2.CALIB_CB_ADAPTIVE_THRESH
+        )
+        if ret:
+            corners = cv2.cornerSubPix(
+                view.astype(np.uint8),
+                corners,
+                (5, 5),
+                (-1, -1),
+                (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-3),
+            ).reshape(-1, 2)
+            d_cv = np.linalg.norm(corners[:, None] - gt[None], axis=-1).min(0)
+            d_us = np.linalg.norm(uvs[:, None] - gt[None], axis=-1).min(0)
+            # Within 2x of cv2's subpixel accuracy on the same image.
+            assert np.sqrt((d_us**2).mean()) < max(
+                2 * np.sqrt((d_cv**2).mean()), 0.5
+            )
+
+    def test_no_board_returns_none(self):
+        rng = np.random.default_rng(0)
+        img = (rng.uniform(0, 255, size=(480, 640))).astype(np.uint8)
+        assert mct.detect_chessboard(img, board_shape=BOARD) is None
+
+    def test_reorder_grid_flips(self):
+        view, gt = make_view(4)
+        det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+        assert det is not None
+        uvs, scores = det
+        # Rotating the image 180 degrees must yield the same physical
+        # ordering (anchor-resolved), mapped through the rotation.
+        rot = view[::-1, ::-1].copy()
+        det_r = mct.detect_chessboard(rot.astype(np.uint8), board_shape=BOARD)
+        assert det_r is not None
+        uvs_r, _ = det_r
+        h, w = view.shape
+        mapped = np.stack([w - 1 - uvs_r[:, 0], h - 1 - uvs_r[:, 1]], axis=-1)
+        np.testing.assert_allclose(mapped, uvs, atol=1.0)
+
+
+class TestVideoLayer:
+    def _frames(self, n, seed0=0):
+        frames = []
+        gts = []
+        for k in range(n):
+            view, gt = make_view(seed0 + k)
+            frames.append(view.astype(np.uint8))
+            gts.append(gt)
+        return frames, gts
+
+    def test_process_video_cache(self, tmp_path):
+        frames, gts = self._frames(3)
+        video_path = str(tmp_path / "camA.mp4")
+        save = mct.process_video(
+            video_path,
+            mct.detect_chessboard,
+            {"board_shape": BOARD},
+            frames=frames,
+        )
+        import h5py
+
+        with h5py.File(save, "r") as h5:
+            assert h5["uvs"].shape[1:] == (35, 2)
+            assert "qc_data" in h5
+            assert tuple(h5["img_size"][:]) == (640, 480)
+
+    def test_run_calibration_detection(self, tmp_path):
+        frames_a, _ = self._frames(3, seed0=0)
+        frames_b, _ = self._frames(3, seed0=10)
+        paths = [str(tmp_path / "a.mp4"), str(tmp_path / "b.mp4")]
+        uvs, img_sizes = mct.run_calibration_detection(
+            paths,
+            mct.detect_chessboard,
+            {"board_shape": BOARD},
+            all_frames=[frames_a, frames_b],
+        )
+        assert uvs.shape == (2, 3, 35, 2)
+        assert img_sizes == [(640, 480), (640, 480)]
+        # Caches are reused on rerun (no frames needed).
+        uvs2, _ = mct.run_calibration_detection(
+            paths, mct.detect_chessboard, {"board_shape": BOARD},
+            all_frames=[frames_a, frames_b],
+        )
+        np.testing.assert_array_equal(
+            np.isnan(uvs), np.isnan(uvs2)
+        )
+
+    def test_summarize_detections(self):
+        uvs = np.full((2, 5, 4, 2), np.nan)
+        uvs[0, :3] = 0.0
+        uvs[1, 2:] = 0.0
+        table = mct.summarize_detections(uvs)
+        assert table.values[0, 0] == 3
+        assert table.values[1, 1] == 3
+        assert table.values[0, 1] == 1
