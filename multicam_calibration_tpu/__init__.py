@@ -41,6 +41,7 @@ from .viz import (
     compute_residual_metric,
     overlay_detections,
     pad_axis_limits,
+    plot_chessboard_qc_data,
     plot_residuals,
     plot_shared_detections,
     set_axis_limits,
@@ -84,6 +85,7 @@ __all__ = list(_ops_all) + [
     "compute_residual_metric",
     "overlay_detections",
     "pad_axis_limits",
+    "plot_chessboard_qc_data",
     "plot_residuals",
     "plot_shared_detections",
     "set_axis_limits",

@@ -1,0 +1,138 @@
+"""Pallas TPU kernels for the detection hot path.
+
+The per-pixel corner-response stage is where detection FLOPs/bandwidth live
+(it touches every pixel of every frame of every camera; the reference spends
+this inside cv2.findChessboardCorners, detection.py:384). The XLA fallback
+(`detection.detector.corner_response`) lowers to five separate
+`conv_general_dilated` calls — five HBM round-trips over the smoothed image.
+This kernel fuses grayscale smoothing and the saddle response into ONE pass:
+each (TILE_H x W) row-band is DMA'd HBM->VMEM once (with halo), the 11-tap
+separable Gaussian and the three Hessian stencils run on the VPU entirely in
+VMEM, and only the response tile is written back — ~7x less HBM traffic.
+
+Semantics match `corner_response` (zero-padded SAME convolutions) everywhere
+except a 1-pixel border: the fused kernel smooths *through* the halo instead
+of re-zeroing the smoothed image before the derivative stencils, which is
+strictly more accurate. Detection masks an >= 8-pixel border before NMS
+(detector.find_corner_candidates), so results are identical in practice.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["corner_response_pallas", "on_tpu"]
+
+
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU."""
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover - no backend at all
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _response_kernel(kvec, halo, tile_h, copy_h, x_hbm, out_ref, scratch, sem):
+    """One row-band: DMA (copy_h, Wp) into VMEM, fused stencil.
+
+    kvec: (2r+1,) python-level numpy Gaussian taps (baked into the program).
+    copy_h is tile_h + 2*halo rounded up to the 8-sublane tiling (Mosaic
+    requires aligned VMEM slice heights); the surplus rows are dead padding.
+    Derivative stencils (radius 1) follow the reference exactly:
+    Ixx = [1,-2,1] along x, Iyy along y, Ixy = 0.25 * diagonal cross
+    (detection/detector.py:corner_response).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_h, copy_h), :],
+        scratch,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    x = scratch[: tile_h + 2 * halo]  # (tile_h + 2*halo, Wp)
+    r = halo - 1  # Gaussian radius
+    wp = x.shape[1]
+    wg = wp - 2 * r  # width after horizontal Gaussian
+
+    # Separable Gaussian as shifted multiply-adds (valid conv, VPU).
+    g1 = kvec[0] * x[:, 0:wg]
+    for t in range(1, 2 * r + 1):
+        g1 = g1 + kvec[t] * x[:, t : t + wg]
+    hg = tile_h + 2  # rows after vertical Gaussian (= tile_h + 2*1 deriv halo)
+    g2 = kvec[0] * g1[0:hg, :]
+    for t in range(1, 2 * r + 1):
+        g2 = g2 + kvec[t] * g1[t : t + hg, :]
+
+    # Hessian stencils (valid, radius 1).
+    ixx = g2[1:-1, 0:-2] - 2.0 * g2[1:-1, 1:-1] + g2[1:-1, 2:]
+    iyy = g2[0:-2, 1:-1] - 2.0 * g2[1:-1, 1:-1] + g2[2:, 1:-1]
+    ixy = 0.25 * (g2[0:-2, 0:-2] + g2[2:, 2:] - g2[0:-2, 2:] - g2[2:, 0:-2])
+
+    out_ref[0] = ixy * ixy - ixx * iyy
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "tile_h", "interpret"))
+def _corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=False):
+    B, H, W = gray.shape
+    dtype = gray.dtype
+    r = int(3 * sigma + 0.5)
+    halo = r + 1
+
+    hp = _round_up(H, tile_h)
+    copy_h = _round_up(tile_h + 2 * halo, 8)
+    # Lane-dim padding: W + 2*halo rounded to the 128-lane register width.
+    wp = _round_up(W + 2 * halo, 128)
+    wo = wp - 2 * halo
+
+    x = jnp.zeros((B, hp + (copy_h - tile_h), wp), dtype)
+    x = jax.lax.dynamic_update_slice(x, gray, (0, halo, halo))
+
+    kvec = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+    kvec = (kvec / kvec.sum()).astype(np.float64)
+
+    grid = (B, hp // tile_h)
+    out = pl.pallas_call(
+        functools.partial(_response_kernel, list(kvec), halo, tile_h, copy_h),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec(
+            (1, tile_h, wo),
+            lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, hp, wo), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((copy_h, wp), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x)
+    return out[:, :H, :W]
+
+
+def corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=None):
+    """Fused saddle-point corner response Ixy^2 - Ixx*Iyy over (B, H, W).
+
+    Drop-in for `detection.detector.corner_response` (same stencils; see
+    module docstring for the 1-pixel border caveat). `interpret=None` picks
+    compiled mode on TPU and the Pallas interpreter elsewhere, so the same
+    call works in CPU test meshes and on hardware.
+    """
+    if interpret is None:
+        interpret = not on_tpu()
+    return _corner_response_pallas(
+        gray, sigma=sigma, tile_h=tile_h, interpret=bool(interpret)
+    )

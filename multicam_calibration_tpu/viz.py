@@ -28,6 +28,7 @@ __all__ = [
     "overlay_detections",
     "visualize_flatibration",
     "plot_shared_detections",
+    "plot_chessboard_qc_data",
 ]
 
 
@@ -359,3 +360,60 @@ def plot_shared_detections(all_calib_uvs, spanning_tree, figsize=(9, 2)):
     ax.set_yticklabels([f"(camera {c1}, camera {c2})" for c1, c2 in spanning_tree])
     plt.tight_layout()
     return fig, shared_detections
+
+
+def plot_chessboard_qc_data(video_paths, figsize=(12, 6)):
+    """Anchor-match score QC figure (reference detection.py:521-583).
+
+    Top row: per-frame heatmap of the four sorted anchor-match scores read
+    from each video's ``{video}.detections.h5`` cache. Bottom row: best vs
+    second-best scatter with diagonal guide lines at 0.1 offsets — the gap
+    between the two is what ``match_score_min_diff`` thresholds in
+    :func:`detect_chessboard`.
+    """
+    import os
+
+    import h5py
+    import matplotlib.pyplot as plt
+
+    qc_datas = []
+    for video_path in video_paths:
+        detections_path = os.path.splitext(video_path)[0] + ".detections.h5"
+        if not os.path.exists(detections_path):
+            raise FileNotFoundError(
+                f"Could not find {detections_path}. "
+                "Run `run_calibration_detection` first."
+            )
+        with h5py.File(detections_path, "r") as h5:
+            if "qc_data" not in h5:
+                raise KeyError(
+                    f"{detections_path} has no qc_data dataset — rerun "
+                    "detection with reorder=True"
+                )
+            qc_datas.append(h5["qc_data"][:])
+
+    fig, axs = plt.subplots(
+        3,
+        len(qc_datas),
+        figsize=figsize,
+        gridspec_kw={"height_ratios": [1, 0.05, 0.4]},
+        squeeze=False,
+    )
+    for i, qc_data in enumerate(qc_datas):
+        cax = axs[0, i].imshow(qc_data, aspect="auto", interpolation="nearest")
+        axs[0, i].set_ylabel("Frame")
+        axs[0, i].set_xlabel("match score")
+        axs[0, i].set_title(os.path.basename(video_paths[i]), fontsize=10)
+        plt.colorbar(cax, cax=axs[1, i], orientation="horizontal")
+
+        axs[2, i].scatter(qc_data[:, 0], qc_data[:, 1], s=1, linewidth=0)
+        axs[2, i].set_xlabel("best")
+        axs[2, i].set_ylabel("second-best")
+        axs[2, i].set_aspect("equal")
+        axs[2, i].axline((0, 0), slope=1, c="k")
+        axs[2, i].set_xlim([0, 1])
+        axs[2, i].set_ylim([0, 1])
+        for offset in np.arange(0.1, 1, 0.1):
+            axs[2, i].axline((offset, 0), slope=1, c="k", ls="--", lw=0.5)
+    plt.tight_layout()
+    return fig

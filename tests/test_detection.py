@@ -152,6 +152,26 @@ class TestVideoLayer:
             np.isnan(uvs), np.isnan(uvs2)
         )
 
+    def test_plot_chessboard_qc_data(self, tmp_path):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        frames, _ = self._frames(3)
+        video_path = str(tmp_path / "camQ.mp4")
+        mct.process_video(
+            video_path, mct.detect_chessboard, {"board_shape": BOARD},
+            frames=frames,
+        )
+        fig = mct.plot_chessboard_qc_data([video_path])
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            mct.plot_chessboard_qc_data([str(tmp_path / "missing.mp4")])
+
     def test_summarize_detections(self):
         uvs = np.full((2, 5, 4, 2), np.nan)
         uvs[0, :3] = 0.0
