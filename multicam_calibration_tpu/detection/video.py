@@ -15,14 +15,33 @@ import os
 
 import numpy as np
 
-from .detector import detect_chessboard
+from .detector import detect_chessboard, detect_chessboard_batch
 
 __all__ = [
     "VideoReader",
+    "open_video",
     "process_video",
     "run_calibration_detection",
     "summarize_detections",
 ]
+
+
+def open_video(path, gray=False, prefetch=64):
+    """Open a video with the best available backend.
+
+    Prefers the native C++ loader (libmccvideo: libavformat decode on a
+    background thread, see native/src/video_loader.cc) and falls back to
+    the cv2-based VideoReader. Returns an object supporting len() and
+    frame indexing; the native reader additionally supports read_batch().
+    """
+    from .native_video import available, NativeVideoReader
+
+    if available():
+        try:
+            return NativeVideoReader(path, gray=gray, prefetch=prefetch)
+        except IOError:
+            pass  # container the native build can't read -> cv2
+    return VideoReader(path)
 
 
 class VideoReader:
@@ -65,6 +84,7 @@ def process_video(
     n_workers=1,
     frames=None,
     img_size=None,
+    batch_size=64,
 ):
     """Detect the calibration object in one video; cache to HDF5.
 
@@ -75,15 +95,23 @@ def process_video(
     replaces the process pool. ``frames`` allows passing pre-decoded frames
     (e.g. synthetic) instead of reading ``video_path``.
 
+    When ``detection_fun`` is the default detector, frames are processed in
+    fixed-size device batches (tail padded by repetition so every batch
+    compiles to the same shape): native C++ decode-ahead overlaps the
+    device's batched corner pipeline. ``batch_size=0`` forces the
+    per-frame path.
+
     KeyboardInterrupt performs a partial save, like the reference
     (detection.py:98-123).
     """
     import h5py
 
     detection_options = detection_options or {}
+    reader = None
     if frames is None:
-        reader = VideoReader(video_path)
-        img_size = reader[0].shape[:2][::-1]
+        reader = open_video(video_path)
+        first = reader[0]
+        img_size = first.shape[:2][::-1]
         total = len(reader)
         get = lambda ix: reader[ix]
     else:
@@ -94,12 +122,26 @@ def process_video(
     if use_frames is None:
         use_frames = np.arange(total)
 
+    batched = detection_fun is detect_chessboard and batch_size and batch_size > 1
+
     detections = {}
     try:
-        for frame_ix in use_frames:
-            det = detection_fun(get(int(frame_ix)), **detection_options)
-            if det is not None:
-                detections[int(frame_ix)] = det
+        if batched:
+            use = np.asarray(use_frames, int)
+            for lo in range(0, len(use), batch_size):
+                chunk = use[lo : lo + batch_size]
+                imgs = [get(int(ix)) for ix in chunk]
+                while len(imgs) < batch_size:  # pad tail: constant jit shape
+                    imgs.append(imgs[-1])
+                found = detect_chessboard_batch(imgs, **detection_options)
+                for j, det in found.items():
+                    if j < len(chunk):
+                        detections[int(chunk[j])] = det
+        else:
+            for frame_ix in use_frames:
+                det = detection_fun(get(int(frame_ix)), **detection_options)
+                if det is not None:
+                    detections[int(frame_ix)] = det
     except KeyboardInterrupt:
         print("Early termination, saving results so far...")
 
@@ -114,6 +156,9 @@ def process_video(
     else:
         uvs = np.stack([detections[i] for i in frame_ixs])
         qc_data = None
+
+    if reader is not None and hasattr(reader, "close"):
+        reader.close()
 
     save_path = os.path.splitext(video_path)[0] + ".detections.h5"
     with h5py.File(save_path, "w") as h5:
@@ -150,7 +195,7 @@ def run_calibration_detection(
         if all_frames is not None:
             n_frames = min(len(f) for f in all_frames)
         else:
-            n_frames = min(len(VideoReader(vp)) for vp in video_paths)
+            n_frames = min(len(open_video(vp)) for vp in video_paths)
         aligned_frame_ixs = np.stack([np.arange(n_frames)] * len(video_paths)).T
 
     for i, video_path in enumerate(video_paths):

@@ -235,14 +235,17 @@ def bundle_adjust(
     Returns (adjusted_extrinsics, adjusted_intrinsics, adjusted_calib_poses,
     use_frames, result_info).
     """
+    from ..utils.metrics import metrics
+
     all_calib_uvs = np.asarray(all_calib_uvs)
     n_cameras = all_calib_uvs.shape[0]
 
-    use_frames = select_ba_frames(
-        all_calib_uvs, all_extrinsics, all_intrinsics, calib_objpoints,
-        calib_poses, n_frames=n_frames, outlier_threshold=outlier_threshold,
-        seed=seed, verbose=verbose,
-    )
+    with metrics.timer("ba.select_frames"):
+        use_frames = select_ba_frames(
+            all_calib_uvs, all_extrinsics, all_intrinsics, calib_objpoints,
+            calib_poses, n_frames=n_frames, outlier_threshold=outlier_threshold,
+            seed=seed, verbose=verbose,
+        )
 
     obs_np = all_calib_uvs[:, use_frames]
     mask_np = ~np.isnan(obs_np).any(-1)  # (C, F, N) per-point mask
@@ -264,20 +267,34 @@ def bundle_adjust(
         max_iters=opt_kwargs.get("max_iters", 100),
     )
 
-    if mesh is not None:
-        from ..parallel.sharded import sharded_lm_solve
+    with metrics.timer(
+        "ba.lm_solve", n_cameras=n_cameras, n_frames=len(use_frames),
+        sharded=mesh is not None,
+    ):
+        if mesh is not None:
+            from ..parallel.sharded import sharded_lm_solve
 
-        cam, poses, info = sharded_lm_solve(
-            cam0_j, poses0_j, obs, mask, objpoints_j, opts, mesh=mesh
-        )
-    else:
-        # lm_solve is itself jitted with a module-level cache (keyed on
-        # shapes + opts), so repeated calls don't recompile.
-        cam, poses, info = lm_solve(cam0_j, poses0_j, obs, mask, objpoints_j, opts)
+            cam, poses, info = sharded_lm_solve(
+                cam0_j, poses0_j, obs, mask, objpoints_j, opts, mesh=mesh
+            )
+        else:
+            # lm_solve is itself jitted with a module-level cache (keyed on
+            # shapes + opts), so repeated calls don't recompile.
+            cam, poses, info = lm_solve(
+                cam0_j, poses0_j, obs, mask, objpoints_j, opts
+            )
 
     adjusted_extrinsics, adjusted_intrinsics = _arrays_to_params(cam)
     adjusted_calib_poses = np.asarray(poses)
     result = {k: np.asarray(v) for k, v in info.items()}
+    metrics.log(
+        "ba_result",
+        initial_cost=float(result["initial_cost"]),
+        final_cost=float(result["final_cost"]),
+        n_iters=int(result["n_iters"]),
+        n_cameras=n_cameras,
+        n_frames=len(use_frames),
+    )
     if verbose:
         print(
             f"BA: cost {float(result['initial_cost']):.4g} -> "

@@ -417,33 +417,43 @@ def calibrate(
     (calibration.py:280-373): (all_extrinsics, all_intrinsics,
     consensus poses, spanning_tree).
     """
+    from ..utils.metrics import metrics
+
     n_cameras = len(all_calib_uvs)
     all_intrinsics = []
     if verbose:
         print("Estimating camera intrinsics")
-    for c in range(n_cameras):
-        all_intrinsics.append(
-            get_intrinsics(
-                all_calib_uvs[c],
-                calib_objpoints,
-                img_sizes[c],
-                n_samples=n_samples_for_intrinsics,
+    with metrics.timer("calibrate.intrinsics", n_cameras=n_cameras):
+        for c in range(n_cameras):
+            all_intrinsics.append(
+                get_intrinsics(
+                    all_calib_uvs[c],
+                    calib_objpoints,
+                    img_sizes[c],
+                    n_samples=n_samples_for_intrinsics,
+                )
             )
-        )
     if verbose:
         print("Initializing calibration object poses")
-    all_calib_poses = np.stack(
-        [
-            np.asarray(
-                estimate_pose(all_calib_uvs[c], calib_objpoints, *all_intrinsics[c])
-            )
-            for c in range(n_cameras)
-        ]
-    )
+    with metrics.timer("calibrate.poses"):
+        all_calib_poses = np.stack(
+            [
+                np.asarray(
+                    estimate_pose(all_calib_uvs[c], calib_objpoints, *all_intrinsics[c])
+                )
+                for c in range(n_cameras)
+            ]
+        )
     if verbose:
         print("Estimating camera extrinsics")
-    all_extrinsics, spanning_tree = estimate_all_extrinsics(all_calib_poses, root=root)
+    with metrics.timer("calibrate.extrinsics"):
+        all_extrinsics, spanning_tree = estimate_all_extrinsics(
+            all_calib_poses, root=root
+        )
     if verbose:
         print("Merging calibration object poses")
-    calib_poses = np.asarray(consensus_calib_poses(all_calib_poses, all_extrinsics))
+    with metrics.timer("calibrate.consensus"):
+        calib_poses = np.asarray(
+            consensus_calib_poses(all_calib_poses, all_extrinsics)
+        )
     return all_extrinsics, all_intrinsics, calib_poses, spanning_tree
