@@ -131,6 +131,7 @@ def cmd_adjust(args):
     ext2, intr2, poses2, use_frames, info = bundle_adjust(
         uvs, np.asarray(ext), intr, objpoints, poses,
         n_frames=cfg.ba.n_frames, ftol=cfg.ba.ftol, max_iters=cfg.ba.max_iters,
+        checkpoint_path=getattr(args, "checkpoint", None),
     )
     save_calibration(ext2, intr2, names, args.output, save_format=args.format)
     print(f"saved adjusted calibration to {args.output}")
@@ -243,6 +244,10 @@ def main(argv=None):
     p.add_argument("--calibration", required=True)
     p.add_argument("--output", default="calibration_adjusted.json")
     p.add_argument("--format", default="json", choices=["json", "jarvis", "gimbal"])
+    p.add_argument(
+        "--checkpoint", default=None,
+        help="npz path for resumable optimizer state (saved every few iters)",
+    )
     _add_board_args(p)
     p.set_defaults(fn=cmd_adjust)
 

@@ -153,9 +153,13 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8):
     r = win_size
     size = 2 * r + 1
 
-    # Precompute gradient images once per frame.
-    gx = _conv2d(gray, jnp.array([[-0.5, 0.0, 0.5]], dtype))
-    gy = _conv2d(gray, jnp.array([[-0.5], [0.0], [0.5]], dtype))
+    # Precompute gradient images once per frame. Central differences as
+    # pad+shift arithmetic: XLA fuses these into one elementwise pass,
+    # whereas 1-channel conv_general_dilated lowers catastrophically on TPU
+    # (~0.1 Gpix/s measured). Matches conv with SAME zero padding exactly.
+    padded = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)))
+    gx = 0.5 * (padded[:, 1:-1, 2:] - padded[:, 1:-1, :-2])
+    gy = 0.5 * (padded[:, 2:, 1:-1] - padded[:, :-2, 1:-1])
 
     offs = jnp.arange(-r, r + 1, dtype=dtype)
     wy, wx = jnp.meshgrid(offs, offs, indexing="ij")

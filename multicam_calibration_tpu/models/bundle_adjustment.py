@@ -8,6 +8,8 @@ over a device mesh via :mod:`..parallel`).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -219,6 +221,8 @@ def bundle_adjust(
     mesh=None,
     seed=0,
     verbose=True,
+    checkpoint_path=None,
+    checkpoint_every=None,
     **opt_kwargs,
 ):
     """Joint refinement of camera params + board poses (reference parity API).
@@ -232,6 +236,13 @@ def bundle_adjust(
     f32 on TPU), ``mesh`` an optional ``jax.sharding.Mesh`` with a 'frames'
     axis for multi-device BA (see parallel.sharded_bundle_adjust).
 
+    Checkpoint/resume (the reference has stage-level caching only,
+    SURVEY.md §5): with ``checkpoint_path`` set, optimizer state (params,
+    damping, iteration count, frame selection) is saved as .npz every
+    ``checkpoint_every`` iterations (default 10) and a killed run resumes
+    from the file — the frame selection is restored from the checkpoint so
+    the problem is bit-identical.
+
     Returns (adjusted_extrinsics, adjusted_intrinsics, adjusted_calib_poses,
     use_frames, result_info).
     """
@@ -240,17 +251,42 @@ def bundle_adjust(
     all_calib_uvs = np.asarray(all_calib_uvs)
     n_cameras = all_calib_uvs.shape[0]
 
-    with metrics.timer("ba.select_frames"):
-        use_frames = select_ba_frames(
-            all_calib_uvs, all_extrinsics, all_intrinsics, calib_objpoints,
-            calib_poses, n_frames=n_frames, outlier_threshold=outlier_threshold,
-            seed=seed, verbose=verbose,
-        )
+    if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
+        checkpoint_path += ".npz"  # np.savez appends it; keep load in sync
+    ckpt = None
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        ckpt = dict(np.load(checkpoint_path))
+        if ckpt["n_cameras"] != n_cameras or ckpt["n_total_frames"] != (
+            all_calib_uvs.shape[1]
+        ):
+            raise ValueError(
+                f"checkpoint {checkpoint_path} was written for a different "
+                "problem (camera/frame counts differ)"
+            )
+        if verbose:
+            print(
+                f"Resuming BA from {checkpoint_path} "
+                f"(iteration {int(ckpt['it_done'])})"
+            )
+
+    if ckpt is not None:
+        use_frames = ckpt["use_frames"]
+    else:
+        with metrics.timer("ba.select_frames"):
+            use_frames = select_ba_frames(
+                all_calib_uvs, all_extrinsics, all_intrinsics, calib_objpoints,
+                calib_poses, n_frames=n_frames,
+                outlier_threshold=outlier_threshold, seed=seed, verbose=verbose,
+            )
 
     obs_np = all_calib_uvs[:, use_frames]
     mask_np = ~np.isnan(obs_np).any(-1)  # (C, F, N) per-point mask
-    cam0 = _params_to_arrays(all_extrinsics, all_intrinsics)
-    poses0 = np.asarray(calib_poses)[use_frames]
+    if ckpt is not None:
+        cam0 = ckpt["cam"]
+        poses0 = ckpt["poses"]
+    else:
+        cam0 = _params_to_arrays(all_extrinsics, all_intrinsics)
+        poses0 = np.asarray(calib_poses)[use_frames]
 
     if dtype is None:
         dtype = jnp.zeros(0).dtype  # backend default (f64 on x64 CPU, f32 TPU)
@@ -267,22 +303,64 @@ def bundle_adjust(
         max_iters=opt_kwargs.get("max_iters", 100),
     )
 
+    def _solve(cam_in, poses_in, chunk_opts, init_lam=None):
+        if mesh is not None:
+            from ..parallel.sharded import sharded_lm_solve
+
+            return sharded_lm_solve(
+                cam_in, poses_in, obs, mask, objpoints_j, chunk_opts,
+                mesh=mesh, init_lam=init_lam,
+            )
+        # lm_solve is itself jitted with a module-level cache (keyed on
+        # shapes + opts), so repeated calls don't recompile.
+        return lm_solve(
+            cam_in, poses_in, obs, mask, objpoints_j, chunk_opts,
+            init_lam=init_lam,
+        )
+
     with metrics.timer(
         "ba.lm_solve", n_cameras=n_cameras, n_frames=len(use_frames),
         sharded=mesh is not None,
     ):
-        if mesh is not None:
-            from ..parallel.sharded import sharded_lm_solve
-
-            cam, poses, info = sharded_lm_solve(
-                cam0_j, poses0_j, obs, mask, objpoints_j, opts, mesh=mesh
-            )
+        if checkpoint_path is None:
+            cam, poses, info = _solve(cam0_j, poses0_j, opts)
         else:
-            # lm_solve is itself jitted with a module-level cache (keyed on
-            # shapes + opts), so repeated calls don't recompile.
-            cam, poses, info = lm_solve(
-                cam0_j, poses0_j, obs, mask, objpoints_j, opts
+            import dataclasses
+
+            every = int(checkpoint_every or 10)
+            chunk_opts = dataclasses.replace(opts, max_iters=every)
+            it_done = int(ckpt["it_done"]) if ckpt is not None else 0
+            lam = float(ckpt["lam"]) if ckpt is not None else None
+            cam, poses = cam0_j, poses0_j
+            first_cost = (
+                float(ckpt["initial_cost"]) if ckpt is not None else None
             )
+            while True:
+                cam, poses, info = _solve(cam, poses, chunk_opts, init_lam=lam)
+                it_done += int(info["n_iters"])
+                lam = float(info["lambda"])
+                if first_cost is None:
+                    first_cost = float(info["initial_cost"])
+                np.savez(
+                    checkpoint_path,
+                    cam=np.asarray(cam),
+                    poses=np.asarray(poses),
+                    lam=lam,
+                    it_done=it_done,
+                    use_frames=np.asarray(use_frames),
+                    initial_cost=first_cost,
+                    n_cameras=n_cameras,
+                    n_total_frames=all_calib_uvs.shape[1],
+                )
+                metrics.log(
+                    "ba_checkpoint", path=checkpoint_path, it_done=it_done,
+                    cost=float(info["final_cost"]),
+                )
+                if bool(info["converged"]) or it_done >= opts.max_iters:
+                    break
+            info = dict(info)
+            info["n_iters"] = it_done
+            info["initial_cost"] = first_cost
 
     adjusted_extrinsics, adjusted_intrinsics = _arrays_to_params(cam)
     adjusted_calib_poses = np.asarray(poses)

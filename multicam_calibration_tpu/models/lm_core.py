@@ -322,6 +322,7 @@ def lm_solve(
     cam_free=None,
     pose_free=None,
     axis_name=None,
+    init_lam=None,
 ):
     """Run the full LM loop; returns (cam, poses, info dict).
 
@@ -329,7 +330,9 @@ def lm_solve(
     ``lax.while_loop`` over damping retries (blocks reused across retries —
     only the cheap Schur solve and a residual-only cost eval re-run).
     Works identically single-device or inside shard_map with ``axis_name``
-    set to the frame mesh axis.
+    set to the frame mesh axis. ``init_lam`` (traced) overrides
+    ``opts.init_lambda`` so a checkpointed run resumes with its saved
+    damping without recompiling.
     """
     dtype = cam_params.dtype
     cost0 = compute_cost(
@@ -415,7 +418,11 @@ def lm_solve(
     init_state = LMState(
         cam_params=cam_params,
         pose_params=pose_params,
-        lam=jnp.asarray(opts.init_lambda, dtype),
+        lam=(
+            jnp.asarray(opts.init_lambda, dtype)
+            if init_lam is None
+            else jnp.asarray(init_lam, dtype)
+        ),
         cost=cost0,
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),

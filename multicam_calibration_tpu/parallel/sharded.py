@@ -21,21 +21,23 @@ __all__ = ["sharded_lm_solve"]
 
 
 @functools.lru_cache(maxsize=32)
-def _build_sharded_solver(mesh, opts, axis_name, with_cam_free):
+def _build_sharded_solver(mesh, opts, axis_name, with_cam_free, with_init_lam):
     """Cached jitted shard_map solver (keyed by mesh + options)."""
 
-    def local_solve(cam, poses, obs_l, mask_l, objp, cam_free):
+    def local_solve(cam, poses, obs_l, mask_l, objp, cam_free, init_lam):
         return lm_solve(
             cam, poses, obs_l, mask_l, objp, opts,
             cam_free=cam_free if with_cam_free else None,
             axis_name=axis_name,
+            init_lam=init_lam[0] if with_init_lam else None,
         )
 
     fn = jax.shard_map(
         local_solve,
         mesh=mesh,
         in_specs=(
-            P(), P(axis_name), P(None, axis_name), P(None, axis_name), P(), P(),
+            P(), P(axis_name), P(None, axis_name), P(None, axis_name), P(),
+            P(), P(),
         ),
         out_specs=(P(), P(axis_name), P()),
     )
@@ -52,6 +54,7 @@ def sharded_lm_solve(
     mesh=None,
     axis_name="frames",
     cam_free=None,
+    init_lam=None,
 ):
     """Run lm_solve with frames sharded over ``mesh[axis_name]``.
 
@@ -74,11 +77,18 @@ def sharded_lm_solve(
             [mask, jnp.zeros((mask.shape[0], pad, *mask.shape[2:]), bool)], axis=1
         )
 
-    solver = _build_sharded_solver(mesh, opts, axis_name, cam_free is not None)
+    solver = _build_sharded_solver(
+        mesh, opts, axis_name, cam_free is not None, init_lam is not None
+    )
     cam_free_arg = (
         cam_free if cam_free is not None else jnp.ones_like(cam_params)
     )
+    init_lam_arg = jnp.full(
+        (1,), init_lam if init_lam is not None else opts.init_lambda,
+        cam_params.dtype,
+    )
     cam, poses, info = solver(
-        cam_params, pose_params, obs, mask, objpoints, cam_free_arg
+        cam_params, pose_params, obs, mask, objpoints, cam_free_arg,
+        init_lam_arg,
     )
     return cam, poses[:F], info
