@@ -18,7 +18,7 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "NativeVideoReader", "write_y4m"]
+__all__ = ["available", "NativeVideoReader", "NativeVideoWriter", "write_y4m"]
 
 _LIB = None
 _LIB_TRIED = False
@@ -83,6 +83,20 @@ def _load_lib():
     lib.mccv_last_error.argtypes = [ctypes.c_void_p]
     lib.mccv_close.restype = None
     lib.mccv_close.argtypes = [ctypes.c_void_p]
+    lib.mccw_open.restype = ctypes.c_void_p
+    lib.mccw_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_double,
+        ctypes.c_int,
+    ]
+    lib.mccw_write.restype = ctypes.c_int
+    lib.mccw_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
+    lib.mccw_close.restype = ctypes.c_int
+    lib.mccw_close.argtypes = [ctypes.c_void_p]
+    lib.mccw_last_error.restype = ctypes.c_char_p
+    lib.mccw_last_error.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -169,6 +183,67 @@ class NativeVideoReader:
         if getattr(self, "_h", None) is not None:
             self._lib.mccv_close(self._h)
             self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeVideoWriter:
+    """In-process video encoder over the C++ runtime (native/src/
+    video_writer.cc): container picked from the path, encoder from the
+    container (mpeg4/ffv1/rawvideo fallbacks), swscale conversion from
+    BGR24/GRAY8 input frames. Replaces the reference's imageio-ffmpeg
+    subprocess encode (reference viz.py:296-298)."""
+
+    def __init__(self, path, width, height, fps=30.0, gray=False):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("libmccvideo.so unavailable")
+        self._lib = lib
+        self.width, self.height = int(width), int(height)
+        self._gray = bool(gray)
+        self._h = lib.mccw_open(
+            path.encode(), self.width, self.height, float(fps), int(gray)
+        )
+        # A failed open is detected on first write/close; probe eagerly.
+        err = lib.mccw_last_error(self._h).decode()
+        if err:
+            lib.mccw_close(self._h)
+            self._h = None
+            raise IOError(f"could not open video writer {path}: {err}")
+
+    def write(self, frame):
+        frame = np.ascontiguousarray(frame, np.uint8)
+        expect = (
+            (self.height, self.width)
+            if self._gray
+            else (self.height, self.width, 3)
+        )
+        if frame.shape != expect:
+            raise ValueError(f"frame shape {frame.shape} != {expect}")
+        rc = self._lib.mccw_write(
+            self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+        )
+        if rc != 0:
+            raise IOError(self._lib.mccw_last_error(self._h).decode())
+
+    append_data = write  # imageio-compatible spelling
+
+    def close(self):
+        if getattr(self, "_h", None) is not None:
+            rc = self._lib.mccw_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise IOError("video writer close failed")
 
     def __enter__(self):
         return self

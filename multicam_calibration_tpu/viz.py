@@ -172,6 +172,54 @@ def plot_residuals(
     return fig, median_error, reprojections, transformed_reprojections
 
 
+# --- dependency-free frame drawing (numpy; no OpenCV required) -------------
+
+_DIGIT_FONT = {  # 3x5 bitmaps, row-major strings
+    "0": "111101101101111", "1": "010110010010111", "2": "111001111100111",
+    "3": "111001111001111", "4": "101101111001001", "5": "111100111001111",
+    "6": "111100111101111", "7": "111001010010010", "8": "111101111101111",
+    "9": "111101111001111",
+}
+
+
+def _draw_disk(frame, u, v, r, color):
+    h, w = frame.shape[:2]
+    y0, y1 = max(0, v - r), min(h, v + r + 1)
+    x0, x1 = max(0, u - r), min(w, u + r + 1)
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.ogrid[y0:y1, x0:x1]
+    m = (yy - v) ** 2 + (xx - u) ** 2 <= r * r
+    frame[y0:y1, x0:x1][m] = color
+
+
+def _draw_line(frame, p1, p2, color, thickness=2):
+    n = int(max(abs(p2[0] - p1[0]), abs(p2[1] - p1[1])) * 2 + 2)
+    ts = np.linspace(0.0, 1.0, n)
+    pts = np.rint(
+        np.outer(1 - ts, np.asarray(p1, float))
+        + np.outer(ts, np.asarray(p2, float))
+    ).astype(int)
+    r = max(1, thickness // 2)
+    for u, v in np.unique(pts, axis=0):
+        _draw_disk(frame, u, v, r, color)
+
+
+def _draw_text(frame, text, origin, color, scale=2):
+    u0, v0 = origin
+    for k, ch in enumerate(str(text)):
+        bits = _DIGIT_FONT.get(ch)
+        if bits is None:
+            continue
+        for i in range(5):
+            for j in range(3):
+                if bits[i * 3 + j] == "1":
+                    frame[
+                        v0 + i * scale : v0 + (i + 1) * scale,
+                        u0 + (k * 4 + j) * scale : u0 + (k * 4 + j + 1) * scale,
+                    ] = color
+
+
 def overlay_detections(
     video_path,
     detections=None,
@@ -186,15 +234,18 @@ def overlay_detections(
 ):
     """Render detections onto a video clip (parity: viz.py:213-328).
 
-    Host-side (cv2 decode + imageio/ffmpeg encode) — IO is framework
-    boundary, not device compute.
+    Host-side IO through the framework's own stack: the native C++
+    loader/encoder (detection.native_video) when built, cv2/imageio
+    otherwise. Drawing is pure numpy — jet-colored dots, connecting lines,
+    and a frame-index label, matching the reference's cv2 rendering.
     """
     import os
 
-    import cv2
     import h5py
-    import imageio
     import matplotlib.pyplot as plt
+
+    from .detection.video import open_video
+    from .detection.native_video import available as _native_ok
 
     if detections is None:
         detections_path = os.path.splitext(video_path)[0] + ".detections.h5"
@@ -206,9 +257,9 @@ def overlay_detections(
             frame_ixs = f["frame_ixs"][()]
             detections = {int(t): uvs[i] for i, t in enumerate(frame_ixs)}
 
-    cap = cv2.VideoCapture(video_path)
-    n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-    fps = cap.get(cv2.CAP_PROP_FPS) or 30
+    reader = open_video(video_path)
+    n_total = len(reader)
+    fps = getattr(reader, "fps", 30) or 30
 
     if frame_range is None:
         start_frame, end_frame = 0, n_total
@@ -224,14 +275,26 @@ def overlay_detections(
         f'{output_path} already exists. Set "overwrite=True" to overwrite.'
     )
 
-    cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
-    with imageio.get_writer(
-        output_path, pixelformat="yuv420p", fps=fps, quality=quality
-    ) as writer:
+    first = np.asarray(reader[start_frame])
+    h, w = first.shape[:2]
+    if _native_ok():
+        from .detection.native_video import NativeVideoWriter
+
+        writer = NativeVideoWriter(output_path, w, h, fps=fps)
+    else:  # pragma: no cover - image lacks native libs
+        import imageio
+
+        writer = imageio.get_writer(
+            output_path, pixelformat="yuv420p", fps=fps, quality=quality
+        )
+
+    label_scale = max(1, int(round(2 * frame_label_size)))
+    try:
         for frame_ix in range(start_frame, end_frame):
-            ok, frame = cap.read()
-            if not ok:
-                break
+            frame = first if frame_ix == start_frame else np.asarray(reader[frame_ix])
+            if frame.ndim == 2:
+                frame = np.repeat(frame[:, :, None], 3, axis=2)
+            frame = np.ascontiguousarray(frame, np.uint8)
             if frame_ix in detections:
                 uvs = detections[frame_ix]
                 positions = [
@@ -241,25 +304,20 @@ def overlay_detections(
                 ]
                 colors = plt.cm.jet(np.linspace(0, 1, len(uvs)))[:, :3] * 255
                 colors = [(int(r), int(g), int(b)) for r, g, b in colors]
-                for pos, color in zip(positions, colors):
-                    frame = cv2.circle(
-                        frame, pos, dotsize, color, -1, lineType=cv2.LINE_AA
-                    )
                 if draw_lines:
                     for p1, p2, color in zip(positions[:-1], positions[1:], colors):
-                        frame = cv2.line(frame, p1, p2, color, 2, lineType=cv2.LINE_AA)
-            frame = cv2.putText(
-                frame,
-                str(frame_ix),
-                (20, frame.shape[0] - 20),
-                cv2.FONT_HERSHEY_SIMPLEX,
-                frame_label_size,
-                frame_label_color,
-                2,
-                cv2.LINE_AA,
+                        _draw_line(frame, p1, p2, color, 2)
+                for (u, v), color in zip(positions, colors):
+                    _draw_disk(frame, u, v, dotsize, color)
+            _draw_text(
+                frame, frame_ix, (20, h - 20 - 5 * label_scale),
+                frame_label_color, label_scale,
             )
             writer.append_data(frame)
-    cap.release()
+    finally:
+        writer.close()
+        if hasattr(reader, "close"):
+            reader.close()
     return output_path
 
 

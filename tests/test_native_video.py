@@ -75,6 +75,46 @@ class TestNativeReader:
             NativeVideoReader(str(tmp_path / "nope.y4m"))
 
 
+class TestNativeWriter:
+    def test_writer_roundtrip_mp4(self, tmp_path):
+        from multicam_calibration_tpu.detection.native_video import (
+            NativeVideoWriter,
+        )
+
+        yy, xx = np.mgrid[0:96, 0:128]
+        frames = np.stack(
+            [
+                (100 + 50 * np.sin(yy / 15 + k * 0.3) + 50 * np.cos(xx / 20))
+                .astype(np.uint8)
+                for k in range(6)
+            ]
+        )
+        p = str(tmp_path / "w.mp4")
+        with NativeVideoWriter(p, 128, 96, fps=30, gray=True) as w:
+            for f in frames:
+                w.write(f)
+        with NativeVideoReader(p, gray=True) as r:
+            back = r.read_batch(6)
+        assert back.shape[0] == 6
+        assert np.abs(back.astype(float) - frames.astype(float)).mean() < 3
+
+    def test_overlay_detections_end_to_end(self, tmp_path):
+        import os
+
+        frames, _ = _board_frames(3, seed0=40)
+        p = str(tmp_path / "ov.y4m")
+        write_y4m(p, frames)
+        mct.process_video(p, mct.detect_chessboard, {"board_shape": BOARD})
+        out = mct.overlay_detections(p, frame_range=(0, 3), overwrite=True)
+        assert os.path.exists(out)
+        with NativeVideoReader(out) as r:
+            got = r.read_batch(3)
+        assert got.shape == (3, 480, 640, 3)
+        # Overlay dots/lines actually changed pixels vs the source frames.
+        src = np.repeat(frames[:3][..., None], 3, axis=-1)
+        assert np.abs(got.astype(int) - src.astype(int)).max() > 50
+
+
 class TestBatchedVideoDetection:
     def test_detect_chessboard_batch_matches_single(self):
         frames, gts = _board_frames(4)
