@@ -234,6 +234,36 @@ class TestBundleAdjust:
         assert ours_cost <= res_scipy.cost * 1.02
 
 
+    def test_f32_solver_quality(self, rig):
+        """f32 LM (SPD Cholesky solves) lands within 3% of the f64 cost.
+
+        TPU runs f32; the damped Schur system's conditioning (~1/lambda)
+        made the previous LU-based f32 solve plateau ~3.5% high. Guards the
+        bench.py quality gate (cost <= 1.05x reference)."""
+        from multicam_calibration_tpu.models.bundle_adjustment import (
+            _params_to_arrays,
+        )
+        from multicam_calibration_tpu.models.lm_core import lm_solve
+
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=40,
+        )
+        full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
+        use = np.nonzero(full.sum(0) > 1)[0]
+        obs_np = rig.all_calib_uvs[:, use]
+        mask = jnp.asarray(~np.isnan(obs_np).any(-1))
+        costs = {}
+        for dt in (jnp.float64, jnp.float32):
+            cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=dt)
+            poses0 = jnp.asarray(np.asarray(poses)[use], dtype=dt)
+            obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dt)
+            objp = jnp.asarray(rig.calib_objpoints, dtype=dt)
+            _, _, info = lm_solve(cam0, poses0, obs, mask, objp, LMOptions())
+            costs[dt.__name__] = float(info["final_cost"])
+        assert costs["float32"] <= costs["float64"] * 1.03
+
+
 class TestShardedLM:
     def test_sharded_matches_single_device(self, rig):
         from multicam_calibration_tpu.parallel import (
