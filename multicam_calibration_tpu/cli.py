@@ -199,11 +199,12 @@ def cmd_benchmark(args):
     opts = LMOptions(max_iters=args.max_iters)
 
     out = lm_solve(cam0, poses0, obs, mask, objp, opts)  # compile
-    jax.block_until_ready(out[0])
+    _ = np.asarray(out[0])  # host materialization (block_until_ready does
+    # not actually wait on remote-execution backends)
     t0 = time.time()
     cam, p, info = lm_solve(cam0 + 1e-6, poses0, obs, mask, objp, opts)
     n_iters = int(info["n_iters"])
-    jax.block_until_ready(cam)
+    _ = np.asarray(cam)
     wall = time.time() - t0
     print(json.dumps({
         "n_cameras": args.n_cameras,

@@ -208,6 +208,86 @@ def select_ba_frames(
     return use_frames
 
 
+import jax as _jax
+from .lm_core import compute_cost as _compute_cost
+from .lm_core import compute_residuals as _compute_residuals
+
+_jit_residuals = _jax.jit(_compute_residuals)
+_jit_cost = _jax.jit(_compute_cost, static_argnames=("opts", "axis_name"))
+
+
+def _repair_bad_poses(cam, poses, obs, mask, objpoints, opts, threshold=5.0):
+    """Re-solve frame poses the robust LM left in a bad basin.
+
+    soft-L1 bounds a haywire frame's *cost* contribution, so the optimizer
+    can converge with one pose producing ~1000 px errors that an unrobust
+    RMSE exposes. Post-pass: flag frames whose mean reprojection error
+    exceeds ``threshold`` x median, re-initialize their poses from per-camera
+    planar PnP + consensus at the *refined* cameras, then polish ONLY those
+    poses (cameras and healthy poses frozen — same compiled LM program).
+
+    Returns (poses, n_repaired).
+    """
+    from .initialize import consensus_calib_poses, estimate_pose
+    from .lm_core import lm_solve
+
+    import jax.numpy as jnp_
+
+    r = np.asarray(_jit_residuals(cam, poses, obs, mask, objpoints))
+    err = np.linalg.norm(r, axis=-1)  # (C, F, N)
+    mask_np = np.asarray(mask)
+    with np.errstate(invalid="ignore"):
+        frame_err = np.where(mask_np, err, np.nan)
+        per_frame = np.nanmean(frame_err, axis=(0, 2))  # (F,)
+    med = np.nanmedian(per_frame)
+    bad = np.nan_to_num(per_frame, nan=0.0) > threshold * med
+    if not bad.any():
+        return poses, 0
+
+    # Fresh PnP init for the bad frames at the refined camera parameters.
+    ext, intr = _arrays_to_params(np.asarray(cam, np.float64))
+    obs_np = np.asarray(obs, np.float64)
+    obs_nan = np.where(mask_np[..., None], obs_np, np.nan)
+    bad_ix = np.nonzero(bad)[0]
+    all_poses = np.stack(
+        [
+            np.asarray(
+                estimate_pose(obs_nan[c][bad_ix], np.asarray(objpoints), *intr[c])
+            )
+            for c in range(len(ext))
+        ]
+    )
+    reinit = np.asarray(consensus_calib_poses(all_poses, ext))
+    poses_np = np.asarray(poses).copy()
+    ok = ~np.isnan(reinit).any(-1)
+    poses_np[bad_ix[ok]] = reinit[ok]
+
+    pose_free = np.zeros((poses_np.shape[0], 6), np.float32)
+    pose_free[bad_ix] = 1.0
+    cam_free = np.zeros((np.asarray(cam).shape[0], 12), np.float32)
+    dtype = jnp_.asarray(poses).dtype
+    _, poses2, _ = lm_solve(
+        jnp_.asarray(cam),
+        jnp_.asarray(np.nan_to_num(poses_np), dtype),
+        obs,
+        mask,
+        objpoints,
+        opts,
+        cam_free=jnp_.asarray(cam_free, dtype),
+        pose_free=jnp_.asarray(pose_free, dtype),
+    )
+    # Per-frame acceptance: a repaired pose replaces the original only when
+    # it actually reduces that frame's error (the repair can never regress).
+    r2 = np.asarray(_jit_residuals(cam, poses2, obs, mask, objpoints))
+    err2 = np.linalg.norm(r2, axis=-1)
+    with np.errstate(invalid="ignore"):
+        per_frame2 = np.nanmean(np.where(mask_np, err2, np.nan), axis=(0, 2))
+    improved = bad & (np.nan_to_num(per_frame2, nan=np.inf) < per_frame)
+    poses_out = np.asarray(poses).copy()
+    poses_out[improved] = np.asarray(poses2)[improved]
+    return jnp_.asarray(poses_out, dtype), int(improved.sum())
+
+
 def bundle_adjust(
     all_calib_uvs,
     all_extrinsics,
@@ -223,6 +303,7 @@ def bundle_adjust(
     verbose=True,
     checkpoint_path=None,
     checkpoint_every=None,
+    repair_poses=True,
     **opt_kwargs,
 ):
     """Joint refinement of camera params + board poses (reference parity API).
@@ -361,6 +442,20 @@ def bundle_adjust(
             info = dict(info)
             info["n_iters"] = it_done
             info["initial_cost"] = first_cost
+
+    if repair_poses:
+        with metrics.timer("ba.pose_repair"):
+            poses, n_repaired = _repair_bad_poses(
+                cam, poses, obs, mask, objpoints_j, opts
+            )
+            if n_repaired:
+                info = dict(info)
+                info["final_cost"] = _jit_cost(
+                    cam, poses, obs, mask, objpoints_j, opts
+                )
+                info["n_poses_repaired"] = n_repaired
+                if verbose:
+                    print(f"Re-solved {n_repaired} outlier frame poses")
 
     adjusted_extrinsics, adjusted_intrinsics = _arrays_to_params(cam)
     adjusted_calib_poses = np.asarray(poses)

@@ -73,6 +73,11 @@ class LMOptions:
     max_lambda: float = 1e8
     loss: str = "soft_l1"  # or "linear"
     f_scale: float = 1.0
+    # Consecutive sub-ftol easy steps required to declare convergence. f32
+    # step noise produces isolated spuriously-slow iterations mid-descent;
+    # with patience=1 those stop the optimizer at compile-dependent shelves
+    # of the valley (observed 6x run-to-run final-cost spread on TPU).
+    ftol_patience: int = 2
     # Solve precision for the Schur reduction/back-substitution. None keeps
     # the data dtype. "float64" buys f64 step quality while the bulk FLOPs
     # (block building on the MXU) stay f32 — the damped camera system is
@@ -88,6 +93,7 @@ class LMState(NamedTuple):
     cost: jnp.ndarray  # current robust cost
     it: jnp.ndarray  # outer iteration counter
     done: jnp.ndarray  # convergence flag
+    slow_steps: jnp.ndarray  # consecutive sub-ftol easy steps (patience)
 
 
 def _unpack_cam(cam12):
@@ -448,10 +454,21 @@ def lm_solve(
         # lambda mid-descent is not convergence (scipy TRF keeps going in
         # that situation too — it shrinks the trust region and retries).
         easy_step = accepted & (tries_used == 1)
-        done = (~accepted) | (easy_step & (rel_drop < opts.ftol)) | (
+        # A failed round of damping retries is NOT termination unless lambda
+        # has hit its ceiling: persist with the raised lambda, like scipy TRF
+        # shrinking the trust region across iterations. Terminating on the
+        # first failed round made f32 runs stop at wildly run-dependent
+        # points of the valley (observed 6.5k-57k final costs on the same
+        # problem).
+        exhausted = (~accepted) & (lam_next >= opts.max_lambda)
+        slow = easy_step & (rel_drop < opts.ftol)
+        slow_steps = jnp.where(slow, state.slow_steps + 1, 0)
+        done = exhausted | (slow_steps >= opts.ftol_patience) | (
             grad_norm < opts.gtol
         )
-        return LMState(cam_n, poses_n, lam_next, cost_n, state.it + 1, done)
+        return LMState(
+            cam_n, poses_n, lam_next, cost_n, state.it + 1, done, slow_steps
+        )
 
     def outer_cond(state: LMState):
         return (~state.done) & (state.it < opts.max_iters)
@@ -467,6 +484,7 @@ def lm_solve(
         cost=cost0,
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
+        slow_steps=jnp.zeros((), jnp.int32),
     )
     final = lax.while_loop(outer_cond, outer_body, init_state)
     info = {

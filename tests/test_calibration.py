@@ -234,6 +234,35 @@ class TestBundleAdjust:
         assert ours_cost <= res_scipy.cost * 1.02
 
 
+    def test_pose_repair_recovers_corrupted_frame(self, rig, ba_result):
+        """_repair_bad_poses re-solves a frame pose stranded in a bad basin
+        (soft-L1 caps its cost so plain LM can converge around it)."""
+        from multicam_calibration_tpu.models.bundle_adjustment import (
+            _params_to_arrays,
+            _repair_bad_poses,
+        )
+        from multicam_calibration_tpu.models.lm_core import LMOptions
+
+        _, _, _, (adj_ext, adj_intr, adj_poses, use_frames, res) = ba_result
+        cam = jnp.asarray(_params_to_arrays(adj_ext, adj_intr))
+        obs_np = rig.all_calib_uvs[:, use_frames]
+        mask = jnp.asarray(~np.isnan(obs_np).any(-1))
+        obs = jnp.asarray(np.nan_to_num(obs_np))
+        objp = jnp.asarray(rig.calib_objpoints)
+        poses_bad = np.asarray(adj_poses).copy()
+        poses_bad[3] += np.array([1.5, -0.8, 0.6, 300.0, -200.0, 150.0])
+        fixed, n = _repair_bad_poses(
+            cam, jnp.asarray(poses_bad), obs, mask, objp, LMOptions()
+        )
+        assert n >= 1
+        np.testing.assert_allclose(
+            np.asarray(fixed)[3], np.asarray(adj_poses)[3], atol=2e-2
+        )
+        # Healthy poses untouched.
+        np.testing.assert_allclose(
+            np.asarray(fixed)[4:], np.asarray(poses_bad)[4:], atol=1e-7
+        )
+
     def test_f32_solver_quality(self, rig):
         """f32 LM (SPD Cholesky solves) lands within 3% of the f64 cost.
 
