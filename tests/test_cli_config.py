@@ -159,6 +159,32 @@ class TestCLI:
         # Focal length recovered within a few percent.
         assert abs(intr_est[0][0][0, 0] - 900) / 900 < 0.05
 
+    def test_adjust_with_checkpoint(self, video_rig, tmp_path):
+        from multicam_calibration_tpu.cli import main
+
+        calib = str(tmp_path / "c.json")
+        rc = main(
+            [
+                "calibrate", *video_rig["paths"], "--output", calib,
+                "--board", "5", "7", "--square-size", "12.5",
+            ]
+        )
+        assert rc == 0
+        out = str(tmp_path / "adj.json")
+        ck = str(tmp_path / "ba_state.npz")
+        rc = main(
+            [
+                "adjust", *video_rig["paths"], "--calibration", calib,
+                "--output", out, "--checkpoint", ck,
+                "--board", "5", "7", "--square-size", "12.5",
+            ]
+        )
+        assert rc == 0
+        assert os.path.exists(out)
+        assert os.path.exists(ck)
+        saved = dict(np.load(ck))
+        assert saved["it_done"] >= 1
+
     def test_export_roundtrip(self, video_rig, tmp_path):
         from multicam_calibration_tpu.cli import main
 
