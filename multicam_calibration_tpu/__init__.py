@@ -30,6 +30,7 @@ from .models.bundle_adjustment import (
     serialize_params,
 )
 from .models.lm_core import LMOptions
+from .models.streaming import RollingCalibrator
 from .models.flatibration import (
     center_arena,
     flatibrate,
@@ -76,6 +77,7 @@ __all__ = list(_ops_all) + [
     "select_ba_frames",
     "serialize_params",
     "LMOptions",
+    "RollingCalibrator",
     "center_arena",
     "flatibrate",
     "flip_z_axis",

@@ -1,0 +1,182 @@
+"""Rolling re-calibration: windowed BA over a stream of frame batches.
+
+BASELINE.json config 4 ("Rolling re-calibration stream: windowed BA over
+incoming frame batches (online keyframe partitioning)") — a capability the
+reference lacks entirely (its answer to drift is a full offline re-run).
+
+TPU-shaped design: the keyframe window has a FIXED capacity, so every
+update executes the same compiled LM program (static shapes, zero
+recompilation in steady state). Each `update(batch_uvs)`:
+
+1. initializes the new frames' board poses by batched planar PnP against
+   the *current* camera estimates (+ consensus across cameras),
+2. admits them to the window, evicting the lowest-value keyframes — value
+   = sum over camera pairs of 1/pair_coverage, i.e. frames that are the
+   rare witnesses of a camera pair are protected (recent frames are always
+   protected to track drift),
+3. runs a few warm-started LM iterations on the window (damping state
+   carried across updates via ``init_lam``) and re-estimates the cameras.
+
+The result is a calibration that tracks slow rig drift at a per-batch cost
+of O(window) instead of O(history).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .bundle_adjustment import _arrays_to_params, _params_to_arrays
+from .initialize import consensus_calib_poses, estimate_pose
+from .lm_core import LMOptions, lm_solve
+
+__all__ = ["RollingCalibrator"]
+
+
+class RollingCalibrator:
+    def __init__(
+        self,
+        all_extrinsics,
+        all_intrinsics,
+        calib_objpoints,
+        window=256,
+        iters_per_update=3,
+        protect_recent=32,
+        refine_intrinsics=False,
+        dtype=None,
+        lm_options=None,
+    ):
+        # refine_intrinsics=False by default: rig drift is geometric (mounts
+        # flex, lenses don't), and with a small window free intrinsics trade
+        # off against depth (fx <-> z ambiguity) — observed ~20-40 mm
+        # relative-extrinsics drift at healthy reprojection cost when all 12
+        # camera params float on a 64-frame window.
+        self._ext = np.asarray(all_extrinsics, np.float64)
+        self._intr = [
+            (np.asarray(K, np.float64), np.asarray(d, np.float64))
+            for K, d in all_intrinsics
+        ]
+        self.objpoints = np.asarray(calib_objpoints, np.float64)
+        self.window = int(window)
+        self.protect_recent = int(protect_recent)
+        n_cameras = self._ext.shape[0]
+        N = self.objpoints.shape[0]
+        self._dtype = dtype or jnp.zeros(0).dtype
+        self._opts = lm_options or LMOptions(
+            max_iters=int(iters_per_update), ftol=0.0
+        )
+        cam_free = np.ones((n_cameras, 12), np.float32)
+        if not refine_intrinsics:
+            cam_free[:, :6] = 0.0
+        self._cam_free = cam_free
+        # Window state (host): observations, masks, poses, ages.
+        self._obs = np.full((n_cameras, self.window, N, 2), np.nan)
+        self._poses = np.zeros((self.window, 6))
+        self._order = np.full(self.window, -1, dtype=np.int64)  # arrival idx
+        self._next_arrival = 0
+        self._lam = None
+        self.n_updates = 0
+
+    # -- public state ------------------------------------------------------
+    @property
+    def n_cameras(self):
+        return self._ext.shape[0]
+
+    def calibration(self):
+        """Current (all_extrinsics, all_intrinsics)."""
+        return self._ext.copy(), [(K.copy(), d.copy()) for K, d in self._intr]
+
+    @property
+    def occupancy(self):
+        return int((self._order >= 0).sum())
+
+    # -- internals -----------------------------------------------------------
+    def _frame_values(self):
+        """Keyframe value: rare camera-pair witnesses are precious."""
+        seen = ~np.isnan(self._obs).any((-1, -2))  # (C, W)
+        occupied = self._order >= 0
+        C = seen.shape[0]
+        value = np.zeros(self.window)
+        for a in range(C):
+            for b in range(a + 1, C):
+                co = seen[a] & seen[b] & occupied  # (W,)
+                count = co.sum()
+                if count:
+                    value += co / count
+        return value
+
+    def _evict_slots(self, n_needed):
+        """Pick slots for new frames: empty first, then lowest-value."""
+        empty = np.nonzero(self._order < 0)[0]
+        if len(empty) >= n_needed:
+            return empty[:n_needed]
+        slots = list(empty)
+        n_more = n_needed - len(empty)
+        value = self._frame_values()
+        # Protect the most recent frames (drift tracking) by +inf value.
+        occupied_ix = np.nonzero(self._order >= 0)[0]
+        recency = np.argsort(self._order[occupied_ix])[::-1]
+        protected = occupied_ix[recency[: self.protect_recent]]
+        value[protected] = np.inf
+        value[self._order < 0] = np.inf  # already taken above
+        order = np.argsort(value)
+        slots.extend(order[:n_more].tolist())
+        return np.asarray(slots[:n_needed], dtype=np.int64)
+
+    def update(self, batch_uvs):
+        """Ingest (n_cameras, B, N, 2) detections (NaN = unseen); refine.
+
+        Returns an info dict (cost, n_iters, window occupancy).
+        """
+        batch_uvs = np.asarray(batch_uvs, np.float64)
+        C, B = batch_uvs.shape[:2]
+        if C != self.n_cameras:
+            raise ValueError(f"expected {self.n_cameras} cameras, got {C}")
+
+        # 1. pose init for the incoming frames at current cameras.
+        per_cam = np.stack(
+            [
+                np.asarray(estimate_pose(batch_uvs[c], self.objpoints, *self._intr[c]))
+                for c in range(C)
+            ]
+        )
+        poses_new = np.asarray(consensus_calib_poses(per_cam, self._ext))
+        ok = ~np.isnan(poses_new).any(-1)
+
+        # 2. admit to the window.
+        slots = self._evict_slots(int(ok.sum()))
+        new_ix = np.nonzero(ok)[0]
+        for slot, j in zip(slots, new_ix):
+            self._obs[:, slot] = batch_uvs[:, j]
+            self._poses[slot] = poses_new[j]
+            self._order[slot] = self._next_arrival
+            self._next_arrival += 1
+
+        # 3. windowed LM (static shapes; same compiled program every call).
+        occupied = self._order >= 0
+        seen_count = (~np.isnan(self._obs).any((-1, -2))).sum(0)
+        active = occupied & (seen_count >= 2)
+        mask_np = (
+            ~np.isnan(self._obs).any(-1) & active[None, :, None]
+        )  # (C, W, N)
+        dt = self._dtype
+        cam0 = jnp.asarray(_params_to_arrays(self._ext, self._intr), dt)
+        obs = jnp.asarray(np.nan_to_num(self._obs), dt)
+        mask = jnp.asarray(mask_np)
+        poses0 = jnp.asarray(np.nan_to_num(self._poses), dt)
+        objp = jnp.asarray(self.objpoints, dt)
+        cam, poses, info = lm_solve(
+            cam0, poses0, obs, mask, objp, self._opts,
+            cam_free=jnp.asarray(self._cam_free, dt), init_lam=self._lam,
+        )
+        self._lam = float(info["lambda"])
+        # np.array (copy): np.asarray of a jax array is a read-only view,
+        # and the window buffers are mutated by later updates.
+        self._ext, self._intr = _arrays_to_params(np.array(cam, np.float64))
+        self._poses = np.array(poses, np.float64)
+        self.n_updates += 1
+        return {
+            "cost": float(info["final_cost"]),
+            "n_iters": int(info["n_iters"]),
+            "occupancy": self.occupancy,
+            "admitted": int(ok.sum()),
+        }
