@@ -545,6 +545,7 @@ def detect_chessboard_batch(
     max_candidates=160,
     nms_radius=4,
     template_size=40,
+    scale_factor=1,
     **unsupported,
 ):
     """Detect over a batch of frames with batched device stages.
@@ -561,7 +562,9 @@ def detect_chessboard_batch(
     Unsupported per-frame options (e.g. scale_factor) fall back to the
     single-frame path.
     """
-    if unsupported:
+    # scale_factor==1 (the default everywhere, including the CLI's config
+    # dict) is a no-op — only an actual downscale needs the per-frame path.
+    if unsupported or scale_factor != 1:
         out = {}
         kwargs = dict(
             board_shape=board_shape,
@@ -569,6 +572,7 @@ def detect_chessboard_batch(
             match_score_min_diff=match_score_min_diff,
             max_candidates=max_candidates,
             nms_radius=nms_radius,
+            scale_factor=scale_factor,
             **unsupported,
         )
         for i, img in enumerate(images):

@@ -38,9 +38,20 @@ def open_video(path, gray=False, prefetch=64):
 
     if available():
         try:
-            return NativeVideoReader(path, gray=gray, prefetch=prefetch)
+            reader = NativeVideoReader(path, gray=gray, prefetch=prefetch)
         except IOError:
-            pass  # container the native build can't read -> cv2
+            reader = None  # container the native build can't read -> cv2
+        if reader is not None:
+            if reader.n_frames >= 0:
+                return reader
+            # Index-less container (no frame count): callers need len();
+            # prefer the cv2 reader, keep the native one as last resort.
+            try:
+                cv2_reader = VideoReader(path)
+            except Exception:
+                return reader
+            reader.close()
+            return cv2_reader
     return VideoReader(path)
 
 
@@ -144,6 +155,11 @@ def process_video(
                     detections[int(frame_ix)] = det
     except KeyboardInterrupt:
         print("Early termination, saving results so far...")
+    finally:
+        # Always release the native reader's decode thread + ring buffer
+        # (a 'No detections found' raise must not leak them).
+        if reader is not None and hasattr(reader, "close"):
+            reader.close()
 
     if len(detections) == 0:
         raise ValueError("No detections found")
@@ -156,9 +172,6 @@ def process_video(
     else:
         uvs = np.stack([detections[i] for i in frame_ixs])
         qc_data = None
-
-    if reader is not None and hasattr(reader, "close"):
-        reader.close()
 
     save_path = os.path.splitext(video_path)[0] + ".detections.h5"
     with h5py.File(save_path, "w") as h5:

@@ -409,21 +409,31 @@ def bundle_adjust(
             import dataclasses
 
             every = int(checkpoint_every or 10)
-            chunk_opts = dataclasses.replace(opts, max_iters=every)
             it_done = int(ckpt["it_done"]) if ckpt is not None else 0
             lam = float(ckpt["lam"]) if ckpt is not None else None
             cam, poses = cam0_j, poses0_j
             first_cost = (
                 float(ckpt["initial_cost"]) if ckpt is not None else None
             )
-            while True:
+            ran_any = False
+            info = {}
+            while it_done < opts.max_iters:
+                ran_any = True
+                # Clamp the chunk to the remaining budget (a resumed run may
+                # be near the cap already).
+                chunk_opts = dataclasses.replace(
+                    opts, max_iters=min(every, opts.max_iters - it_done)
+                )
                 cam, poses, info = _solve(cam, poses, chunk_opts, init_lam=lam)
                 it_done += int(info["n_iters"])
                 lam = float(info["lambda"])
                 if first_cost is None:
                     first_cost = float(info["initial_cost"])
+                # Atomic write: a kill mid-savez must not corrupt the file
+                # the feature exists to protect.
+                tmp_path = checkpoint_path + ".tmp.npz"
                 np.savez(
-                    checkpoint_path,
+                    tmp_path,
                     cam=np.asarray(cam),
                     poses=np.asarray(poses),
                     lam=lam,
@@ -433,16 +443,33 @@ def bundle_adjust(
                     n_cameras=n_cameras,
                     n_total_frames=all_calib_uvs.shape[1],
                 )
+                os.replace(tmp_path, checkpoint_path)
                 metrics.log(
                     "ba_checkpoint", path=checkpoint_path, it_done=it_done,
                     cost=float(info["final_cost"]),
                 )
-                if bool(info["converged"]) or it_done >= opts.max_iters:
+                if bool(info["converged"]):
                     break
+            if not ran_any:  # resumed at/over the iteration cap
+                cost_now = float(
+                    _jit_cost(cam, poses, obs, mask, objpoints_j, opts)
+                )
+                info = {
+                    "final_cost": cost_now,
+                    "converged": False,
+                    "lambda": lam if lam is not None else opts.init_lambda,
+                }
+                if first_cost is None:
+                    first_cost = cost_now
             info = dict(info)
             info["n_iters"] = it_done
             info["initial_cost"] = first_cost
 
+    if repair_poses and mesh is not None:
+        # The repair polish runs unsharded; on meshes it would materialize
+        # the full W blocks on one device — exactly what sharding avoids.
+        metrics.log("ba_pose_repair_skipped", reason="mesh")
+        repair_poses = False
     if repair_poses:
         with metrics.timer("ba.pose_repair"):
             poses, n_repaired = _repair_bad_poses(

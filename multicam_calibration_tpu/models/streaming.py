@@ -105,21 +105,29 @@ class RollingCalibrator:
         return value
 
     def _evict_slots(self, n_needed):
-        """Pick slots for new frames: empty first, then lowest-value."""
+        """Pick distinct slots for new frames: empty first, then the
+        lowest-value unprotected keyframes, then (only if the batch exceeds
+        window - protect_recent) the oldest protected ones."""
         empty = np.nonzero(self._order < 0)[0]
         if len(empty) >= n_needed:
             return empty[:n_needed]
         slots = list(empty)
         n_more = n_needed - len(empty)
-        value = self._frame_values()
-        # Protect the most recent frames (drift tracking) by +inf value.
         occupied_ix = np.nonzero(self._order >= 0)[0]
         recency = np.argsort(self._order[occupied_ix])[::-1]
-        protected = occupied_ix[recency[: self.protect_recent]]
-        value[protected] = np.inf
-        value[self._order < 0] = np.inf  # already taken above
-        order = np.argsort(value)
-        slots.extend(order[:n_more].tolist())
+        protected = set(occupied_ix[recency[: self.protect_recent]].tolist())
+        value = self._frame_values()
+        evictable = np.asarray(
+            [s for s in occupied_ix if s not in protected], dtype=np.int64
+        )
+        if len(evictable):
+            order = evictable[np.argsort(value[evictable])]
+            slots.extend(order[:n_more].tolist())
+            n_more = n_needed - len(slots)
+        if n_more > 0:  # huge batch: give up the oldest protected frames
+            by_age = occupied_ix[np.argsort(self._order[occupied_ix])]
+            remaining = [s for s in by_age.tolist() if s not in slots]
+            slots.extend(remaining[:n_more])
         return np.asarray(slots[:n_needed], dtype=np.int64)
 
     def update(self, batch_uvs):
@@ -142,9 +150,12 @@ class RollingCalibrator:
         poses_new = np.asarray(consensus_calib_poses(per_cam, self._ext))
         ok = ~np.isnan(poses_new).any(-1)
 
-        # 2. admit to the window.
-        slots = self._evict_slots(int(ok.sum()))
+        # 2. admit to the window (a batch larger than the window keeps its
+        # newest `window` frames).
         new_ix = np.nonzero(ok)[0]
+        if len(new_ix) > self.window:
+            new_ix = new_ix[-self.window :]
+        slots = self._evict_slots(len(new_ix))
         for slot, j in zip(slots, new_ix):
             self._obs[:, slot] = batch_uvs[:, j]
             self._poses[slot] = poses_new[j]
@@ -178,5 +189,5 @@ class RollingCalibrator:
             "cost": float(info["final_cost"]),
             "n_iters": int(info["n_iters"]),
             "occupancy": self.occupancy,
-            "admitted": int(ok.sum()),
+            "admitted": int(len(new_ix)),
         }

@@ -291,19 +291,29 @@ def overlay_detections(
     label_scale = max(1, int(round(2 * frame_label_size)))
     try:
         for frame_ix in range(start_frame, end_frame):
-            frame = first if frame_ix == start_frame else np.asarray(reader[frame_ix])
+            try:
+                frame = (
+                    first
+                    if frame_ix == start_frame
+                    else np.asarray(reader[frame_ix])
+                )
+            except IndexError:
+                # Containers routinely over-report frame counts; finish with
+                # the frames that exist (reference detection.py behavior).
+                break
             if frame.ndim == 2:
                 frame = np.repeat(frame[:, :, None], 3, axis=2)
             frame = np.ascontiguousarray(frame, np.uint8)
             if frame_ix in detections:
                 uvs = detections[frame_ix]
-                positions = [
-                    (int(u), int(v))
-                    for u, v in uvs
-                    if np.isfinite(u) and np.isfinite(v)
-                ]
-                colors = plt.cm.jet(np.linspace(0, 1, len(uvs)))[:, :3] * 255
-                colors = [(int(r), int(g), int(b)) for r, g, b in colors]
+                all_colors = plt.cm.jet(np.linspace(0, 1, len(uvs)))[:, :3] * 255
+                # Keep each point's jet color tied to its corner index even
+                # when some corners are NaN.
+                positions, colors = [], []
+                for (u, v), c in zip(uvs, all_colors):
+                    if np.isfinite(u) and np.isfinite(v):
+                        positions.append((int(u), int(v)))
+                        colors.append((int(c[0]), int(c[1]), int(c[2])))
                 if draw_lines:
                     for p1, p2, color in zip(positions[:-1], positions[1:], colors):
                         _draw_line(frame, p1, p2, color, 2)

@@ -150,15 +150,22 @@ class VideoLoader {
     }
     AVStream* st = fmt_->streams[stream_idx_];
     int64_t ts = 0;
-    if (st->avg_frame_rate.num > 0) {
+    // Without reliable pts, frame indices come from a running counter — the
+    // only way to label frames correctly after a seek is to restart from
+    // frame 0 and drop forward (BACKWARD seeks land on an unknown earlier
+    // keyframe, which the counter cannot account for).
+    bool indexable = pts_reliable_ && st->avg_frame_rate.num > 0;
+    if (indexable) {
       ts = av_rescale_q(frame_index, av_inv_q(st->avg_frame_rate), st->time_base);
     }
-    if (av_seek_frame(fmt_, stream_idx_, ts, AVSEEK_FLAG_BACKWARD) < 0) {
+    if (av_seek_frame(fmt_, stream_idx_, indexable ? ts : 0,
+                      AVSEEK_FLAG_BACKWARD) < 0) {
       err_ = "seek failed";
       return false;
     }
     avcodec_flush_buffers(ctx_);
     skip_until_ = frame_index;
+    counter_base_ = indexable ? frame_index : 0;
     start();
     return true;
   }
@@ -193,10 +200,11 @@ class VideoLoader {
 
   // Frame index from pts (exact across seeks for containers with pts);
   // falls back to a running counter for streams without timestamps.
-  int64_t frame_index_of(const AVFrame* frm, int64_t counter) const {
+  int64_t frame_index_of(const AVFrame* frm, int64_t counter) {
     if (frm->pts == AV_NOPTS_VALUE) return counter;
     AVStream* st = fmt_->streams[stream_idx_];
     if (st->avg_frame_rate.num <= 0) return counter;
+    pts_reliable_ = true;
     int64_t pts = frm->pts;
     if (st->start_time != AV_NOPTS_VALUE) pts -= st->start_time;
     return av_rescale_q(pts, st->time_base, av_inv_q(st->avg_frame_rate));
@@ -205,7 +213,7 @@ class VideoLoader {
   void decode_loop() {
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frm = av_frame_alloc();
-    int64_t counter = skip_until_;
+    int64_t counter = counter_base_;
     bool flushing = false;
     while (!stop_requested_) {
       if (!flushing) {
@@ -270,6 +278,8 @@ class VideoLoader {
   double fps_ = 30.0;
   size_t frame_bytes_ = 0;
   int64_t skip_until_ = 0;
+  int64_t counter_base_ = 0;
+  bool pts_reliable_ = false;
 
   std::thread worker_;
   std::mutex mu_;
