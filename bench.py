@@ -75,7 +75,11 @@ def main():
     mask = jnp.asarray(mask_np)
     objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
 
-    opts = LMOptions()  # reference-equivalent: soft_l1, ftol=1e-4
+    # Reference-equivalent options (soft_l1, ftol=1e-4); jac_dtype keeps the
+    # 18-tangent Jacobians in f32 (measured: identical cost + iteration
+    # trajectory to pure f64 — the gradient path stays f64 — at 1.6x less
+    # wall on the emulated-f64 TPU).
+    opts = LMOptions(jac_dtype="float32")
 
     # Warm-up (compile) ...
     out = lm_solve(cam0, poses0, obs, mask, objp, opts)

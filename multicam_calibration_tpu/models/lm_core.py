@@ -84,6 +84,13 @@ class LMOptions:
     # conditioned like 1/lambda, which f32 alone cannot solve accurately
     # (requires jax x64 mode to be enabled).
     solve_dtype: str | None = None
+    # Precision for the 18-tangent jacfwd only. With f64 data,
+    # jac_dtype="float32" keeps residuals/gradients/solve in f64 (the LM
+    # fixed point is where the GRADIENT vanishes — it needs f64 because
+    # obs-pred cancels ~4 digits) while the approximate-Hessian Jacobians
+    # tolerate f32: measured identical final cost and iteration count to
+    # pure f64 at ~1.6x less wall on TPU (f64 there is emulated).
+    jac_dtype: str | None = None
 
 
 class LMState(NamedTuple):
@@ -193,7 +200,9 @@ def build_normal_blocks(
     F = pose_params.shape[0]
 
     def per_cf(cam12, pose6, obs_cf, mask_cf):
-        pred, (A, B) = _value_and_jacs(cam12, pose6, objpoints)
+        pred, (A, B) = _value_and_jacs(
+            cam12, pose6, objpoints, jac_dtype=opts.jac_dtype
+        )
         # Mask via where (NOT multiplication): masked-out entries may hold
         # NaN/inf (e.g. padded frames whose pose puts points at z=0), and
         # NaN * 0 would poison the whole normal system.
@@ -241,11 +250,25 @@ def build_normal_blocks(
     )
 
 
-def _value_and_jacs(cam12, pose6, objpoints):
-    """Prediction plus Jacobians wrt (cam12, pose6): ((N,2), ((N,2,12),(N,2,6)))."""
+def _value_and_jacs(cam12, pose6, objpoints, jac_dtype=None):
+    """Prediction plus Jacobians wrt (cam12, pose6): ((N,2), ((N,2,12),(N,2,6))).
+
+    ``jac_dtype`` runs the jacfwd (the 18-tangent bulk of the FLOPs) in a
+    lower precision than the prediction; results are cast back to the data
+    dtype (see LMOptions.jac_dtype).
+    """
     fun = lambda c, p: project_board_points(c, p, objpoints)
     pred = fun(cam12, pose6)
-    A, B = jax.jacfwd(fun, argnums=(0, 1))(cam12, pose6)
+    if jac_dtype is not None and jnp.dtype(jac_dtype) != cam12.dtype:
+        jd = jnp.dtype(jac_dtype)
+        fun_j = lambda c, p: project_board_points(c, p, objpoints.astype(jd))
+        A, B = jax.jacfwd(fun_j, argnums=(0, 1))(
+            cam12.astype(jd), pose6.astype(jd)
+        )
+        A = A.astype(cam12.dtype)
+        B = B.astype(cam12.dtype)
+    else:
+        A, B = jax.jacfwd(fun, argnums=(0, 1))(cam12, pose6)
     return pred, (A, B)
 
 

@@ -263,6 +263,35 @@ class TestBundleAdjust:
             np.asarray(fixed)[4:], np.asarray(poses_bad)[4:], atol=1e-7
         )
 
+    def test_jac_dtype_f32_matches_f64(self, rig):
+        """jac_dtype='float32' (f32 Jacobians, f64 gradient/solve) must
+        reproduce the pure-f64 optimum — the TPU bench runs this mode."""
+        from multicam_calibration_tpu.models.bundle_adjustment import (
+            _params_to_arrays,
+        )
+        from multicam_calibration_tpu.models.lm_core import lm_solve
+
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=40,
+        )
+        full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
+        use = np.nonzero(full.sum(0) > 1)[0]
+        obs_np = rig.all_calib_uvs[:, use]
+        mask = jnp.asarray(~np.isnan(obs_np).any(-1))
+        cam0 = jnp.asarray(_params_to_arrays(ext, intr))
+        poses0 = jnp.asarray(np.asarray(poses)[use])
+        obs = jnp.asarray(np.nan_to_num(obs_np))
+        objp = jnp.asarray(rig.calib_objpoints)
+        _, _, info64 = lm_solve(cam0, poses0, obs, mask, objp, LMOptions())
+        _, _, info_h = lm_solve(
+            cam0, poses0, obs, mask, objp, LMOptions(jac_dtype="float32")
+        )
+        np.testing.assert_allclose(
+            float(info_h["final_cost"]), float(info64["final_cost"]),
+            rtol=1e-5,
+        )
+
     def test_f32_solver_quality(self, rig):
         """f32 LM (SPD Cholesky solves) lands within 3% of the f64 cost.
 
