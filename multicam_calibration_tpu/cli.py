@@ -172,6 +172,10 @@ def cmd_benchmark(args):
     import time
 
     import jax
+
+    # Match bench.py's validated numerics: f64 data + f32 Jacobians (pure
+    # f32 stalls at compile-dependent shelves; see lm_core.LMOptions).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from . import calibrate, make_synthetic_rig
@@ -190,13 +194,13 @@ def cmd_benchmark(args):
     full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
     use = np.nonzero(full.sum(0) > 1)[0]
     obs_np = rig.all_calib_uvs[:, use]
-    dtype = jnp.float32
+    dtype = jnp.float64
     obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
     mask = jnp.asarray(~np.isnan(obs_np).any(-1))
     cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=dtype)
     poses0 = jnp.asarray(np.nan_to_num(np.asarray(poses)[use]), dtype=dtype)
     objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
-    opts = LMOptions(max_iters=args.max_iters)
+    opts = LMOptions(max_iters=args.max_iters, jac_dtype="float32")
 
     out = lm_solve(cam0, poses0, obs, mask, objp, opts)  # compile
     _ = np.asarray(out[0])  # host materialization (block_until_ready does

@@ -185,6 +185,20 @@ class TestCLI:
         saved = dict(np.load(ck))
         assert saved["it_done"] >= 1
 
+    def test_benchmark_command(self, capsys):
+        from multicam_calibration_tpu.cli import main
+
+        rc = main(
+            ["benchmark", "--n-cameras", "2", "--n-frames", "20",
+             "--max-iters", "3"]
+        )
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        rec = json.loads(out)
+        assert rec["n_cameras"] == 2
+        assert rec["n_iters"] >= 1
+        assert rec["iters_per_s"] > 0
+
     def test_export_roundtrip(self, video_rig, tmp_path):
         from multicam_calibration_tpu.cli import main
 
