@@ -1,0 +1,6 @@
+"""`python -m multicam_calibration_tpu` -> the CLI."""
+import sys
+
+from .cli import main
+
+sys.exit(main())

@@ -70,7 +70,7 @@ def main():
         obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
         mask = jnp.asarray(mask_np)
         objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
-        opts = LMOptions()
+        opts = LMOptions(jac_dtype="float32")  # bench.py's validated recipe
 
         out = lm_solve(cam0, poses0, obs, mask, objp, opts)  # compile
         _ = np.asarray(out[0])

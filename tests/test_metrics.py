@@ -32,6 +32,22 @@ def test_metrics_jsonl_sink(tmp_path):
     assert lines[1]["seconds"] >= 0
 
 
+def test_profile_context_writes_trace(tmp_path):
+    import os
+
+    import jax.numpy as jnp
+
+    d = str(tmp_path / "trace")
+    m = Metrics()
+    with m.profile(d):
+        _ = jnp.arange(8).sum()
+    # jax.profiler.trace writes a plugins/profile tree under the logdir.
+    found = []
+    for root, _, files in os.walk(d):
+        found.extend(files)
+    assert found  # trace artifacts exist
+
+
 def test_pipeline_emits_stage_times(tmp_path):
     p = str(tmp_path / "pipe.jsonl")
     metrics.configure(p)
