@@ -7,5 +7,18 @@ scalar cost — a few MB over ICI even at 64 cameras.
 """
 from .mesh import make_frame_mesh
 from .sharded import sharded_lm_solve
+from .input_pipeline import (
+    assign_videos_to_host,
+    distributed_calibration_detection,
+    gather_detections,
+    shard_ba_inputs,
+)
 
-__all__ = ["make_frame_mesh", "sharded_lm_solve"]
+__all__ = [
+    "make_frame_mesh",
+    "sharded_lm_solve",
+    "assign_videos_to_host",
+    "distributed_calibration_detection",
+    "gather_detections",
+    "shard_ba_inputs",
+]
