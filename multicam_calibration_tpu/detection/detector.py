@@ -107,19 +107,36 @@ def corner_response(gray, sigma=1.5, use_pallas=None):
     return Ixy * Ixy - Ixx * Iyy
 
 
-def find_corner_candidates(gray, max_candidates=128, nms_radius=4, sigma=1.5):
+def find_corner_candidates(
+    gray, max_candidates=128, nms_radius=4, sigma=1.5, use_pallas=None
+):
     """Top-K saddle candidates per frame after local-max NMS.
 
     Returns (xy (B, K, 2) float, score (B, K)). Positions are (x, y) pixel
     coords of response maxima; scores are response values (sorted desc).
+
+    On TPU the response AND the NMS peak mask come out of one fused Pallas
+    pass (corner_response_peaks_pallas); only the cheap top-K runs in XLA.
     """
-    resp = corner_response(gray, sigma)
-    B, H, W = resp.shape
-    win = 2 * nms_radius + 1
-    local_max = lax.reduce_window(
-        resp, -jnp.inf, lax.max, (1, win, win), (1, 1, 1), "SAME"
-    )
-    is_peak = (resp >= local_max) & (resp > 0)
+    if use_pallas is None:
+        from ..ops.pallas_kernels import on_tpu
+
+        use_pallas = on_tpu()
+    if use_pallas:
+        from ..ops.pallas_kernels import corner_response_peaks_pallas
+
+        resp, is_peak = corner_response_peaks_pallas(
+            gray, sigma=sigma, nms_radius=nms_radius, interpret=False
+        )
+        B, H, W = resp.shape
+    else:
+        resp = corner_response(gray, sigma, use_pallas=False)
+        B, H, W = resp.shape
+        win = 2 * nms_radius + 1
+        local_max = lax.reduce_window(
+            resp, -jnp.inf, lax.max, (1, win, win), (1, 1, 1), "SAME"
+        )
+        is_peak = (resp >= local_max) & (resp > 0)
     # Suppress a border strip (subpixel windows must fit inside the image).
     ys = jnp.arange(H)[None, :, None]
     xs = jnp.arange(W)[None, None, :]

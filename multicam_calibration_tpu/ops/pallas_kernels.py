@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["corner_response_pallas", "on_tpu"]
+__all__ = ["corner_response_pallas", "corner_response_peaks_pallas", "on_tpu"]
 
 
 def on_tpu() -> bool:
@@ -121,6 +121,117 @@ def _corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=False):
         interpret=interpret,
     )(x)
     return out[:, :H, :W]
+
+
+def _response_peaks_kernel(
+    kvec, rg, nms, tile_h, copy_h, x_hbm, resp_ref, peak_ref, scratch, sem
+):
+    """Fused response + (2*nms+1)^2 local-max peak mask, one HBM pass.
+
+    Extends _response_kernel: the response is computed over an nms-halo-
+    extended band so the NMS local max (the XLA path's reduce_window) comes
+    from shifted jnp.maximum right in VMEM. Peak semantics match
+    detector.find_corner_candidates: resp >= window max AND resp > 0
+    (border rows/cols differ vs reduce_window's -inf padding but sit inside
+    the margin the caller masks off).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    halo = rg + 1 + nms
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * tile_h, copy_h), :], scratch, sem
+    )
+    copy.start()
+    copy.wait()
+
+    x = scratch[: tile_h + 2 * halo]
+    wp = x.shape[1]
+    wg = wp - 2 * rg
+
+    g1 = kvec[0] * x[:, 0:wg]
+    for t in range(1, 2 * rg + 1):
+        g1 = g1 + kvec[t] * x[:, t : t + wg]
+    hg = tile_h + 2 * (nms + 1)
+    g2 = kvec[0] * g1[0:hg, :]
+    for t in range(1, 2 * rg + 1):
+        g2 = g2 + kvec[t] * g1[t : t + hg, :]
+
+    ixx = g2[1:-1, 0:-2] - 2.0 * g2[1:-1, 1:-1] + g2[1:-1, 2:]
+    iyy = g2[0:-2, 1:-1] - 2.0 * g2[1:-1, 1:-1] + g2[2:, 1:-1]
+    ixy = 0.25 * (g2[0:-2, 0:-2] + g2[2:, 2:] - g2[0:-2, 2:] - g2[2:, 0:-2])
+    resp_ext = ixy * ixy - ixx * iyy  # (tile_h + 2*nms, wg - 2)
+
+    wo = resp_ext.shape[1] - 2 * nms
+    m = resp_ext[0 : tile_h, 0:wo]
+    for dy in range(2 * nms + 1):
+        for dx in range(2 * nms + 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = jnp.maximum(m, resp_ext[dy : dy + tile_h, dx : dx + wo])
+    center = resp_ext[nms : nms + tile_h, nms : nms + wo]
+    resp_ref[0] = center
+    peak_ref[0] = ((center >= m) & (center > 0)).astype(center.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "nms_radius", "tile_h", "interpret")
+)
+def _corner_response_peaks_pallas(
+    gray, sigma=1.5, nms_radius=4, tile_h=128, interpret=False
+):
+    B, H, W = gray.shape
+    dtype = gray.dtype
+    rg = int(3 * sigma + 0.5)
+    halo = rg + 1 + int(nms_radius)
+
+    hp = _round_up(H, tile_h)
+    copy_h = _round_up(tile_h + 2 * halo, 8)
+    wp = _round_up(W + 2 * halo, 128)
+    wo = wp - 2 * halo
+
+    x = jnp.zeros((B, hp + (copy_h - tile_h), wp), dtype)
+    x = jax.lax.dynamic_update_slice(x, gray, (0, halo, halo))
+
+    kvec = np.exp(-0.5 * (np.arange(-rg, rg + 1) / sigma) ** 2)
+    kvec = (kvec / kvec.sum()).astype(np.float64)
+
+    grid = (B, hp // tile_h)
+    out_spec = pl.BlockSpec(
+        (1, tile_h, wo), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    resp, peak = pl.pallas_call(
+        functools.partial(
+            _response_peaks_kernel, list(kvec), rg, int(nms_radius), tile_h,
+            copy_h,
+        ),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, hp, wo), dtype),
+            jax.ShapeDtypeStruct((B, hp, wo), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((copy_h, wp), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x)
+    return resp[:, :H, :W], peak[:, :H, :W] > 0
+
+
+def corner_response_peaks_pallas(
+    gray, sigma=1.5, nms_radius=4, tile_h=128, interpret=None
+):
+    """Fused (response, is_peak) over (B, H, W) — one HBM pass instead of
+    response + reduce_window + compare. See corner_response_pallas."""
+    if interpret is None:
+        interpret = not on_tpu()
+    return _corner_response_peaks_pallas(
+        gray, sigma=sigma, nms_radius=nms_radius, tile_h=tile_h,
+        interpret=bool(interpret),
+    )
 
 
 def corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=None):

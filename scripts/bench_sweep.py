@@ -74,13 +74,20 @@ def main():
 
         out = lm_solve(cam0, poses0, obs, mask, objp, opts)  # compile
         _ = np.asarray(out[0])
-        t0 = time.time()
-        cam, poses_adj, info = lm_solve(
-            cam0 + jnp.asarray(1e-5, dtype), poses0, obs, mask, objp, opts
-        )
-        n_iters = int(info["n_iters"])
-        _ = np.asarray(cam)
-        wall = time.time() - t0
+        # Median of 3 timed runs: this container's remote-execution tunnel
+        # has multi-x first-run noise per process (see bench.py).
+        walls, iters = [], []
+        for k in range(3):
+            t0 = time.time()
+            cam, poses_adj, info = lm_solve(
+                cam0 + jnp.asarray(1e-5, dtype) * (k + 1), poses0, obs, mask,
+                objp, opts,
+            )
+            iters.append(int(info["n_iters"]))
+            _ = np.asarray(cam)
+            walls.append(time.time() - t0)
+        wall = float(np.median(walls))
+        n_iters = iters[int(np.argsort(walls)[len(walls) // 2])]
 
         pred_ext = np.asarray(cam[:, 6:12])
         intr_out = [

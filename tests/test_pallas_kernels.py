@@ -38,6 +38,70 @@ def test_corner_response_pallas_sigma(rng):
     )
 
 
+@pytest.mark.parametrize("shape", [(2, 100, 150), (1, 128, 256)])
+def test_fused_peaks_match_xla_nms(shape, rng):
+    from jax import lax
+
+    from multicam_calibration_tpu.ops.pallas_kernels import (
+        corner_response_peaks_pallas,
+    )
+
+    g = jnp.asarray(rng.random(shape))
+    nms = 4
+    resp_ref = np.asarray(corner_response(g, use_pallas=False))
+    win = 2 * nms + 1
+    local_max = np.asarray(
+        lax.reduce_window(
+            jnp.asarray(resp_ref), -jnp.inf, lax.max, (1, win, win),
+            (1, 1, 1), "SAME",
+        )
+    )
+    peak_ref = (resp_ref >= local_max) & (resp_ref > 0)
+    resp, peak = corner_response_peaks_pallas(g, nms_radius=nms, interpret=True)
+    m = nms + 4  # the margin find_corner_candidates masks anyway
+    np.testing.assert_allclose(
+        np.asarray(resp)[:, m:-m, m:-m], resp_ref[:, m:-m, m:-m], atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(peak)[:, m:-m, m:-m], peak_ref[:, m:-m, m:-m]
+    )
+
+
+def test_find_corner_candidates_fused_path_matches(rng):
+    """Candidate positions/scores from the fused kernel reproduce the XLA
+    reduce_window path exactly (their shared border margin masks the only
+    pixels where the two NMS boundary conventions differ)."""
+    from multicam_calibration_tpu.detection.detector import (
+        find_corner_candidates,
+    )
+    from multicam_calibration_tpu.ops.pallas_kernels import (
+        corner_response_peaks_pallas,
+    )
+    import jax
+    from jax import lax as jlax
+
+    H = W = 96
+    y, x = np.mgrid[0:H, 0:W]
+    board = ((x // 16 + y // 16) % 2).astype(np.float64)
+    g = jnp.asarray(board[None] + 0.005 * rng.random((1, H, W)))
+    xy_a, s_a = find_corner_candidates(g, max_candidates=32, use_pallas=False)
+
+    resp, is_peak = corner_response_peaks_pallas(g, interpret=True)
+    B, Hh, Ww = resp.shape
+    ys = jnp.arange(Hh)[None, :, None]
+    xs = jnp.arange(Ww)[None, None, :]
+    margin = 4 + 4  # nms_radius + 4, as in find_corner_candidates
+    interior = (
+        (ys >= margin) & (ys < Hh - margin) & (xs >= margin) & (xs < Ww - margin)
+    )
+    masked = jnp.where(is_peak & interior, resp, 0.0)
+    s_b, idx = jax.lax.top_k(masked.reshape(B, -1), 32)
+    a = np.asarray(s_a)[np.asarray(s_a) > 0]
+    b = np.asarray(s_b)[np.asarray(s_b) > 0]
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.sort(a), np.sort(b), rtol=1e-10)
+
+
 def test_corner_response_pallas_finds_saddles(rng):
     # A synthetic checkerboard: response maxima must sit at the X-corners.
     H = W = 96

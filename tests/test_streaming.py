@@ -66,6 +66,25 @@ def test_streaming_window_eviction(stream_rig):
     assert cal._order.max() == cal._next_arrival - 1
 
 
+def test_streaming_batch_larger_than_window(stream_rig):
+    """A batch bigger than the window keeps its newest `window` frames and
+    never writes two frames to one slot."""
+    rig = stream_rig
+    cal = RollingCalibrator(
+        rig.all_extrinsics, rig.all_intrinsics, rig.calib_objpoints,
+        window=12, iters_per_update=1, protect_recent=8,
+    )
+    info = cal.update(rig.all_calib_uvs[:, :48])
+    assert info["admitted"] <= 12
+    assert info["occupancy"] <= 12
+    assert len(np.unique(cal._order[cal._order >= 0])) == cal.occupancy
+    # Second oversized batch: eviction must produce distinct slots.
+    info = cal.update(rig.all_calib_uvs[:, 48:96])
+    assert info["occupancy"] <= 12
+    orders = cal._order[cal._order >= 0]
+    assert len(np.unique(orders)) == len(orders)
+
+
 def test_streaming_tracks_drift(stream_rig):
     """Cameras drift mid-stream; the window tracks the new geometry."""
     rig = stream_rig
