@@ -162,13 +162,16 @@ def _response_peaks_kernel(
     ixy = 0.25 * (g2[0:-2, 0:-2] + g2[2:, 2:] - g2[0:-2, 2:] - g2[2:, 0:-2])
     resp_ext = ixy * ixy - ixx * iyy  # (tile_h + 2*nms, wg - 2)
 
+    # Separable (2n+1)^2 window max: rows of column-maxes — 4n+2 shifted
+    # maximum ops instead of (2n+1)^2, and a short VMEM live range (the
+    # naive double loop ran the compiler out of scoped vmem).
     wo = resp_ext.shape[1] - 2 * nms
-    m = resp_ext[0 : tile_h, 0:wo]
-    for dy in range(2 * nms + 1):
-        for dx in range(2 * nms + 1):
-            if dy == 0 and dx == 0:
-                continue
-            m = jnp.maximum(m, resp_ext[dy : dy + tile_h, dx : dx + wo])
+    mx = resp_ext[:, 0:wo]
+    for dx in range(1, 2 * nms + 1):
+        mx = jnp.maximum(mx, resp_ext[:, dx : dx + wo])
+    m = mx[0:tile_h]
+    for dy in range(1, 2 * nms + 1):
+        m = jnp.maximum(m, mx[dy : dy + tile_h])
     center = resp_ext[nms : nms + tile_h, nms : nms + wo]
     resp_ref[0] = center
     peak_ref[0] = ((center >= m) & (center > 0)).astype(center.dtype)
@@ -178,7 +181,7 @@ def _response_peaks_kernel(
     jax.jit, static_argnames=("sigma", "nms_radius", "tile_h", "interpret")
 )
 def _corner_response_peaks_pallas(
-    gray, sigma=1.5, nms_radius=4, tile_h=128, interpret=False
+    gray, sigma=1.5, nms_radius=4, tile_h=64, interpret=False
 ):
     B, H, W = gray.shape
     dtype = gray.dtype
@@ -222,7 +225,7 @@ def _corner_response_peaks_pallas(
 
 
 def corner_response_peaks_pallas(
-    gray, sigma=1.5, nms_radius=4, tile_h=128, interpret=None
+    gray, sigma=1.5, nms_radius=4, tile_h=64, interpret=None
 ):
     """Fused (response, is_peak) over (B, H, W) — one HBM pass instead of
     response + reduce_window + compare. See corner_response_pallas."""

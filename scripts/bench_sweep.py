@@ -46,6 +46,7 @@ def main():
             n_cameras=cfg["n_cameras"], n_frames=cfg["n_frames"],
             noise_px=0.3, dropout=0.25, seed=11,
         )
+        cache = f"/tmp/mcc_sweep_init_{cfg['n_cameras']}x{cfg['n_frames']}.npz"
         with jax.default_device(jax.devices("cpu")[0]):
             if cfg.get("init") == "perturbed":
                 rng = np.random.default_rng(1)
@@ -54,10 +55,19 @@ def main():
                 )
                 intr = rig.all_intrinsics
                 poses = rig.calib_poses
+            elif os.path.exists(cache):
+                ck = np.load(cache)
+                ext, poses = ck["ext"], ck["poses"]
+                intr = [(K, d) for K, d in zip(ck["Ks"], ck["ds"])]
             else:
                 ext, intr, poses, _ = mct.calibrate(
                     rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
                     verbose=False, n_samples_for_intrinsics=50,
+                )
+                np.savez(
+                    cache, ext=np.asarray(ext), poses=np.asarray(poses),
+                    Ks=np.stack([K for K, _ in intr]),
+                    ds=np.stack([d for _, d in intr]),
                 )
             use = select_ba_frames(
                 rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
