@@ -519,12 +519,9 @@ def detect_chessboard(
     del adaptive_threshold, normalize_image  # parity args; response is invariant
     gray = _to_gray_f(image)
     if scale_factor != 1:
-        import cv2
-
-        small = cv2.resize(
-            np.asarray(gray), None, fx=scale_factor, fy=scale_factor
-        )
-        gray_det = jnp.asarray(small)
+        h, w = gray.shape
+        new_shape = (int(round(h * scale_factor)), int(round(w * scale_factor)))
+        gray_det = jax.image.resize(gray, new_shape, method="bilinear")
     else:
         gray_det = gray
 

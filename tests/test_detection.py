@@ -84,6 +84,16 @@ class TestDetector:
                 2 * np.sqrt((d_cv**2).mean()), 0.5
             )
 
+    def test_scale_factor_coarse_find(self):
+        """scale_factor<1 finds at low res and re-refines at full res (no
+        cv2 dependency — jax.image.resize)."""
+        view, gt = make_view(1)
+        det = mct.detect_chessboard(
+            view.astype(np.uint8), board_shape=BOARD, scale_factor=0.5
+        )
+        assert det is not None
+        np.testing.assert_allclose(np.asarray(det[0]), gt, atol=1.0)
+
     def test_no_board_returns_none(self):
         rng = np.random.default_rng(0)
         img = (rng.uniform(0, 255, size=(480, 640))).astype(np.uint8)
