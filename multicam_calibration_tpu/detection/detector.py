@@ -95,7 +95,7 @@ def corner_response(gray, sigma=1.5, use_pallas=None):
     if use_pallas:
         from ..ops.pallas_kernels import corner_response_pallas
 
-        return corner_response_pallas(gray, sigma=sigma, interpret=False)
+        return corner_response_pallas(gray, sigma=sigma)
     dtype = gray.dtype
     k = _gaussian_kernel1d(jnp.asarray(sigma, dtype), int(3 * sigma + 0.5), dtype)
     sm = _conv2d_separable(gray, k)
@@ -125,8 +125,10 @@ def find_corner_candidates(
     if use_pallas:
         from ..ops.pallas_kernels import corner_response_peaks_pallas
 
+        # interpret=None: compiled on TPU, interpreter elsewhere — so an
+        # explicit use_pallas=True also works on CPU/GPU backends.
         resp, is_peak = corner_response_peaks_pallas(
-            gray, sigma=sigma, nms_radius=nms_radius, interpret=False
+            gray, sigma=sigma, nms_radius=nms_radius
         )
         B, H, W = resp.shape
     else:

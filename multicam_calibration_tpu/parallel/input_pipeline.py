@@ -101,10 +101,13 @@ def distributed_calibration_detection(
     """Multi-host run_calibration_detection: each host detects its videos.
 
     Single-process: identical to run_calibration_detection. Multi-process:
-    per-host detection (local decode + local device) followed by one corner
-    allgather.
+    each host runs the SAME single-host pipeline on its assigned videos
+    (local decode + local device, all of run_calibration_detection's cache/
+    overwrite/alignment semantics), then one corner allgather + img-size
+    exchange assembles the global arrays. Returns (all_calib_uvs,
+    img_sizes) on every host.
     """
-    from ..detection.video import open_video, process_video, run_calibration_detection
+    from ..detection.video import run_calibration_detection
     from ..detection.detector import detect_chessboard
 
     detection_fun = detection_fun or detect_chessboard
@@ -113,25 +116,29 @@ def distributed_calibration_detection(
             video_paths, detection_fun, detection_options, **kwargs
         )
     # pragma: no cover - needs a real pod
-    import h5py
-    import os
+    from jax.experimental import multihost_utils
 
+    if jax.process_count() > len(video_paths):
+        raise ValueError(
+            f"{jax.process_count()} processes for {len(video_paths)} videos: "
+            "every host must own at least one video"
+        )
     my_paths, my_cams = assign_videos_to_host(video_paths)
-    for p in my_paths:
-        save = os.path.splitext(p)[0] + ".detections.h5"
-        if not os.path.exists(save):
-            process_video(p, detection_fun, detection_options)
-    n_frames = min(len(open_video(p)) for p in my_paths)
-    locals_ = []
-    n_points = None
-    for p in my_paths:
-        with h5py.File(os.path.splitext(p)[0] + ".detections.h5", "r") as h5:
-            uvs, ixs = h5["uvs"][:], h5["frame_ixs"][:]
-        n_points = uvs.shape[1]
-        full = np.full((n_frames, n_points, 2), np.nan)
-        keep = ixs < n_frames
-        full[ixs[keep]] = uvs[keep]
-        locals_.append(full)
-    return gather_detections(
-        np.stack(locals_), my_cams, len(video_paths), n_frames, n_points
-    ), None
+    uvs_local, sizes_local = run_calibration_detection(
+        my_paths, detection_fun, detection_options, **kwargs
+    )
+    # Agree on the global frame count (containers may differ across hosts).
+    n_frames = int(
+        np.min(multihost_utils.process_allgather(np.array(uvs_local.shape[1])))
+    )
+    uvs_local = uvs_local[:, :n_frames]
+    n_points = uvs_local.shape[2]
+    uvs = gather_detections(
+        uvs_local, my_cams, len(video_paths), n_frames, n_points
+    )
+    # Exchange image sizes (-1 padding + elementwise max across hosts).
+    sizes = np.full((len(video_paths), 2), -1, np.int64)
+    for row, cam in enumerate(my_cams):
+        sizes[cam] = sizes_local[row]
+    sizes = np.asarray(multihost_utils.process_allgather(sizes)).max(0)
+    return uvs, [tuple(int(v) for v in s) for s in sizes]

@@ -46,7 +46,19 @@ def main():
             n_cameras=cfg["n_cameras"], n_frames=cfg["n_frames"],
             noise_px=0.3, dropout=0.25, seed=11,
         )
-        cache = f"/tmp/mcc_sweep_init_{cfg['n_cameras']}x{cfg['n_frames']}.npz"
+        # Cache key includes a hash of the init pipeline source so edits to
+        # calibrate/Zhang/PnP invalidate stale inits automatically.
+        import hashlib
+
+        import multicam_calibration_tpu.models.initialize as _init_mod
+
+        src_h = hashlib.md5(
+            open(_init_mod.__file__, "rb").read()
+        ).hexdigest()[:8]
+        cache = (
+            f"/tmp/mcc_sweep_init_{cfg['n_cameras']}x{cfg['n_frames']}"
+            f"_{src_h}.npz"
+        )
         with jax.default_device(jax.devices("cpu")[0]):
             if cfg.get("init") == "perturbed":
                 rng = np.random.default_rng(1)
