@@ -65,7 +65,16 @@ def cmd_detect(args):
     return 0
 
 
+def _enable_x64():
+    """Reference-grade BA accuracy needs f64 residuals (lm_core.LMOptions);
+    bundle_adjust then auto-selects f64 data + f32 Jacobians."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
 def cmd_calibrate(args):
+    _enable_x64()
     from . import (
         bundle_adjust,
         calibrate,
@@ -108,6 +117,7 @@ def cmd_calibrate(args):
 
 def cmd_adjust(args):
     """Re-run bundle adjustment from a saved calibration + detection caches."""
+    _enable_x64()
     from . import (
         bundle_adjust,
         consensus_calib_poses,

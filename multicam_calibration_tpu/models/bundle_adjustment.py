@@ -369,8 +369,27 @@ def bundle_adjust(
         cam0 = _params_to_arrays(all_extrinsics, all_intrinsics)
         poses0 = np.asarray(calib_poses)[use_frames]
 
+    # Numerics defaults (see lm_core.LMOptions and CLAUDE.md): the LM needs
+    # f64 residuals/gradients to reach the reference's cost basin reliably —
+    # pure f32 stalls at compile-dependent shelves of the soft-L1 valley.
+    # With x64 available we run f64 data + f32 Jacobians (measured identical
+    # optimum to pure f64 at ~1.6x less wall on TPU's emulated f64).
+    default_jac_dtype = None
     if dtype is None:
-        dtype = jnp.zeros(0).dtype  # backend default (f64 on x64 CPU, f32 TPU)
+        if _jax.config.jax_enable_x64:
+            dtype = jnp.float64
+            default_jac_dtype = "float32"
+        else:
+            dtype = jnp.zeros(0).dtype  # backend default (f32)
+            import warnings
+
+            warnings.warn(
+                "bundle_adjust is running in float32 (jax x64 disabled): "
+                "f32 LM can stall a few percent above the optimum on TPU; "
+                "enable x64 (jax.config.update('jax_enable_x64', True)) "
+                "before backend init for reference-grade accuracy",
+                stacklevel=2,
+            )
     obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
     mask = jnp.asarray(mask_np)
     cam0_j = jnp.asarray(cam0, dtype=dtype)
@@ -382,6 +401,8 @@ def bundle_adjust(
         loss=opt_kwargs.get("loss", "soft_l1"),
         f_scale=opt_kwargs.get("f_scale", 1.0),
         max_iters=opt_kwargs.get("max_iters", 100),
+        jac_dtype=opt_kwargs.get("jac_dtype", default_jac_dtype),
+        solve_dtype=opt_kwargs.get("solve_dtype", None),
     )
 
     def _solve(cam_in, poses_in, chunk_opts, init_lam=None):
