@@ -486,14 +486,30 @@ def _to_gray_f(image):
     return jnp.asarray(img, dtype=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("max_candidates", "nms_radius"))
+@functools.partial(
+    jax.jit, static_argnames=("max_candidates", "nms_radius", "win_size")
+)
 @with_highest_precision
-def _find_and_refine(gray_b, max_candidates, nms_radius):
+def _find_and_refine(gray_b, max_candidates, nms_radius, win_size=5):
     xy, score = find_corner_candidates(
         gray_b / 255.0, max_candidates=max_candidates, nms_radius=nms_radius
     )
-    refined = refine_corners_subpix(gray_b / 255.0, xy)
+    refined = refine_corners_subpix(gray_b / 255.0, xy, win_size=win_size)
     return xy, refined, score
+
+
+def _subpix_win(subpix_winSize):
+    """Normalize the reference's (w, h) winSize tuple to a scalar half-size.
+
+    cv2.cornerSubPix takes a (w, h) half-window (detection.py:368); the
+    refinement window here is square, so the larger half-size is used.
+    """
+    if subpix_winSize is None:
+        return 5
+    try:
+        return max(int(v) for v in subpix_winSize)
+    except TypeError:
+        return int(subpix_winSize)
 
 
 def detect_chessboard(
@@ -515,10 +531,12 @@ def detect_chessboard(
     returns ``(uvs (N,2), match_scores (4,))`` when ``reorder=True`` (or
     None if no board / ambiguous anchor), else ``uvs`` or None.
     ``adaptive_threshold`` / ``normalize_image`` are accepted for parity
-    (the saddle response is intensity-offset invariant by construction).
-    ``board_shape`` is (rows, cols) as in the reference.
+    (the saddle response is intensity-offset invariant by construction; see
+    tests/test_detection.py lighting-gradient tests). ``board_shape`` is
+    (rows, cols) as in the reference.
     """
     del adaptive_threshold, normalize_image  # parity args; response is invariant
+    win_size = _subpix_win(subpix_winSize)
     gray = _to_gray_f(image)
     if scale_factor != 1:
         h, w = gray.shape
@@ -528,7 +546,7 @@ def detect_chessboard(
         gray_det = gray
 
     xy, refined, score = _find_and_refine(
-        gray_det[None], max_candidates, nms_radius
+        gray_det[None], max_candidates, nms_radius, win_size
     )
     cand = np.asarray(refined[0]) / scale_factor
     sc = np.asarray(score[0])
@@ -540,7 +558,9 @@ def detect_chessboard(
     if scale_factor != 1:
         # Re-refine at full resolution.
         refined_full = refine_corners_subpix(
-            gray[None] / 255.0, jnp.asarray(uvs[None], dtype=jnp.float32)
+            gray[None] / 255.0,
+            jnp.asarray(uvs[None], dtype=jnp.float32),
+            win_size=win_size,
         )
         uvs = np.asarray(refined_full[0])
 
@@ -562,6 +582,9 @@ def detect_chessboard_batch(
     nms_radius=4,
     template_size=40,
     scale_factor=1,
+    subpix_winSize=(5, 5),
+    adaptive_threshold=True,
+    normalize_image=True,
     **unsupported,
 ):
     """Detect over a batch of frames with batched device stages.
@@ -575,9 +598,14 @@ def detect_chessboard_batch(
 
     Returns {frame_index: detection} matching process_video's accumulation
     semantics (detection = (uvs, sorted_scores) when reorder else uvs).
-    Unsupported per-frame options (e.g. scale_factor) fall back to the
-    single-frame path.
+    The no-op parity flags (``adaptive_threshold``/``normalize_image`` — the
+    saddle response is intensity-offset invariant) are discarded here exactly
+    as in ``detect_chessboard``; only options that genuinely change per-frame
+    behavior (a real ``scale_factor`` downscale, or unknown kwargs) fall back
+    to the single-frame path.
     """
+    del adaptive_threshold, normalize_image  # parity args; response is invariant
+    win_size = _subpix_win(subpix_winSize)
     # scale_factor==1 (the default everywhere, including the CLI's config
     # dict) is a no-op — only an actual downscale needs the per-frame path.
     if unsupported or scale_factor != 1:
@@ -589,6 +617,7 @@ def detect_chessboard_batch(
             max_candidates=max_candidates,
             nms_radius=nms_radius,
             scale_factor=scale_factor,
+            subpix_winSize=subpix_winSize,
             **unsupported,
         )
         for i, img in enumerate(images):
@@ -602,7 +631,7 @@ def detect_chessboard_batch(
         return {}
     frames = np.stack([np.asarray(im) for im in images])
     gray = _gray_from_u8(jnp.asarray(frames))
-    _, refined, score = _find_and_refine(gray, max_candidates, nms_radius)
+    _, refined, score = _find_and_refine(gray, max_candidates, nms_radius, win_size)
     refined = np.asarray(refined)
     score = np.asarray(score)
 

@@ -216,6 +216,22 @@ _jit_residuals = _jax.jit(_compute_residuals)
 _jit_cost = _jax.jit(_compute_cost, static_argnames=("opts", "axis_name"))
 
 
+def _ba_fingerprint(all_calib_uvs, seed, n_frames, outlier_threshold):
+    """Content hash identifying a BA problem for checkpoint validation.
+
+    Covers the detection data plus every option that shapes the frame
+    selection, so a checkpoint written for one problem cannot silently
+    resume a same-shaped different one.
+    """
+    import hashlib
+
+    h = hashlib.sha1()
+    arr = np.ascontiguousarray(np.asarray(all_calib_uvs, dtype=np.float64))
+    h.update(arr.tobytes())
+    h.update(repr((seed, n_frames, outlier_threshold)).encode())
+    return h.hexdigest()
+
+
 def _repair_bad_poses(cam, poses, obs, mask, objpoints, opts, threshold=5.0):
     """Re-solve frame poses the robust LM left in a bad basin.
 
@@ -335,6 +351,11 @@ def bundle_adjust(
     if checkpoint_path is not None and not checkpoint_path.endswith(".npz"):
         checkpoint_path += ".npz"  # np.savez appends it; keep load in sync
     ckpt = None
+    fingerprint = None
+    if checkpoint_path is not None:
+        fingerprint = _ba_fingerprint(
+            all_calib_uvs, seed, n_frames, outlier_threshold
+        )
     if checkpoint_path is not None and os.path.exists(checkpoint_path):
         ckpt = dict(np.load(checkpoint_path))
         if ckpt["n_cameras"] != n_cameras or ckpt["n_total_frames"] != (
@@ -343,6 +364,16 @@ def bundle_adjust(
             raise ValueError(
                 f"checkpoint {checkpoint_path} was written for a different "
                 "problem (camera/frame counts differ)"
+            )
+        # Same-shaped but different data/selection must not silently resume
+        # a stale state: verify the content fingerprint when present.
+        if "fingerprint" in ckpt and str(
+            np.asarray(ckpt["fingerprint"])
+        ) != fingerprint:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} was written for a different "
+                "problem (detection data or frame-selection options differ); "
+                "delete it or pass a different checkpoint_path"
             )
         if verbose:
             print(
@@ -463,6 +494,8 @@ def bundle_adjust(
                     initial_cost=first_cost,
                     n_cameras=n_cameras,
                     n_total_frames=all_calib_uvs.shape[1],
+                    fingerprint=fingerprint,
+                    converged=bool(info["converged"]),
                 )
                 os.replace(tmp_path, checkpoint_path)
                 metrics.log(

@@ -223,9 +223,8 @@ def build_normal_blocks(
     per_f = jax.vmap(per_cf, in_axes=(None, 0, 0, 0))  # over frames
     per_cf_all = jax.vmap(per_f, in_axes=(0, None, 0, 0))  # over cameras
 
-    cam_in = cam_params if cam_free is None else cam_params  # masking below
     U_all, V_all, W_all, gc_all, gp_all, cost_all = per_cf_all(
-        cam_in, pose_params, obs, mask
+        cam_params, pose_params, obs, mask
     )
     # (C,F,12,12), (C,F,6,6), (C,F,12,6), (C,F,12), (C,F,6), (C,F)
 

@@ -124,6 +124,19 @@ def distributed_calibration_detection(
             "every host must own at least one video"
         )
     my_paths, my_cams = assign_videos_to_host(video_paths)
+    # Camera-indexed kwargs must be sliced to this host's camera subset —
+    # run_calibration_detection consumes them positionally (e.g.
+    # aligned_frame_ixs[:, i] / all_frames[i] for LOCAL camera i), so
+    # forwarding the global arrays would silently apply column i to global
+    # camera my_cams[i].
+    kwargs = dict(kwargs)
+    if kwargs.get("aligned_frame_ixs") is not None:
+        kwargs["aligned_frame_ixs"] = np.asarray(kwargs["aligned_frame_ixs"])[
+            :, my_cams
+        ]
+    if kwargs.get("all_frames") is not None:
+        all_frames = kwargs["all_frames"]
+        kwargs["all_frames"] = [all_frames[c] for c in my_cams]
     uvs_local, sizes_local = run_calibration_detection(
         my_paths, detection_fun, detection_options, **kwargs
     )

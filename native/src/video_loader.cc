@@ -215,6 +215,7 @@ class VideoLoader {
     AVFrame* frm = av_frame_alloc();
     int64_t counter = counter_base_;
     bool flushing = false;
+    int flush_spins = 0;
     while (!stop_requested_) {
       if (!flushing) {
         int r = av_read_frame(fmt_, pkt);
@@ -256,7 +257,9 @@ class VideoLoader {
       }
       if (flushing) {
         // receive loop exits only via EOF above or EAGAIN (won't happen when
-        // flushing); guard against codecs that return EAGAIN while draining.
+        // flushing); guard against codecs that return EAGAIN while draining,
+        // and bound the spin so a misbehaving codec can't busy-loop forever.
+        if (++flush_spins > 10000) break;
         std::this_thread::yield();
       }
     }
@@ -279,7 +282,10 @@ class VideoLoader {
   size_t frame_bytes_ = 0;
   int64_t skip_until_ = 0;
   int64_t counter_base_ = 0;
-  bool pts_reliable_ = false;
+  // Written by the decode thread, read by the caller thread in seek()
+  // (after stop() joins the worker, but atomic so a future read path
+  // without the join stays race-free).
+  std::atomic<bool> pts_reliable_{false};
 
   std::thread worker_;
   std::mutex mu_;

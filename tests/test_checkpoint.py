@@ -77,6 +77,28 @@ def test_resume_from_checkpoint(problem, tmp_path):
     assert resumed[4]["final_cost"] <= partial[4]["final_cost"] + 1e-9
 
 
+def test_checkpoint_fingerprint_mismatch_raises(problem, tmp_path):
+    """Same-shaped but different data must not silently resume (ADVICE r1)."""
+    rig, ext, intr, poses = problem
+    ck = str(tmp_path / "fp.npz")
+    mct.bundle_adjust(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        verbose=False, checkpoint_path=ck, checkpoint_every=2, max_iters=2,
+    )
+    shifted = rig.all_calib_uvs + 0.25  # same shape, different problem
+    with pytest.raises(ValueError, match="different problem"):
+        mct.bundle_adjust(
+            shifted, ext, intr, rig.calib_objpoints, poses,
+            verbose=False, checkpoint_path=ck,
+        )
+    # Different seed changes the frame selection -> also a different problem.
+    with pytest.raises(ValueError, match="different problem"):
+        mct.bundle_adjust(
+            rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+            verbose=False, checkpoint_path=ck, seed=7,
+        )
+
+
 def test_checkpoint_problem_mismatch_raises(problem, tmp_path):
     rig, ext, intr, poses = problem
     ck = str(tmp_path / "mm.npz")
