@@ -260,6 +260,22 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
     ref_score = np.sort(sc)[-n_needed]
     keep = sc > 0.35 * ref_score
     pts = pts[keep]
+    sc = sc[keep]
+    if len(pts) < n_needed:
+        return None
+
+    # Deduplicate: subpixel refinement can collapse two distinct NMS peaks
+    # onto the same corner (observed sub-px pairs on cluttered frames); a
+    # near-duplicate as a seed neighbor yields a garbage lattice direction.
+    # Greedy keep-strongest within a 3 px radius.
+    order_sc = np.argsort(-sc)
+    kept_ixs = []
+    for j in order_sc:
+        p = pts[j]
+        if all(np.sum((pts[i] - p) ** 2) > 9.0 for i in kept_ixs):
+            kept_ixs.append(j)
+    pts = pts[kept_ixs]
+    sc = sc[kept_ixs]
     if len(pts) < n_needed:
         return None
 
@@ -275,86 +291,120 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
         j = int(np.argmin(dd))
         return (j, dd[j]) if dd[j] < tol else (None, None)
 
-    # Seed: the candidate closest to the cloud centroid (likely interior).
+    # Seed candidates: closest to the cloud centroid first (likely interior
+    # vertices); clutter can still land there, so retry growth from the next
+    # few seeds before giving up.
     centroid = pts.mean(0)
-    seed = int(np.argmin(np.sum((pts - centroid) ** 2, axis=-1)))
+    seed_order = np.argsort(np.sum((pts - centroid) ** 2, axis=-1))
 
-    # Find the seed's two lattice directions from its nearest neighbors.
-    order = np.argsort(d2[seed])
-    v1 = pts[order[0]] - pts[seed]
-    v2 = None
-    for j in order[1:6]:
-        cand = pts[j] - pts[seed]
-        cosang = abs(np.dot(cand, v1)) / (
-            np.linalg.norm(cand) * np.linalg.norm(v1) + 1e-30
-        )
-        if cosang < 0.7:  # > ~45 degrees apart
-            v2 = cand
-            break
-    if v2 is None:
-        return None
+    def grow_from(seed):
+        order = np.argsort(d2[seed])
+        v1 = pts[order[0]] - pts[seed]
+        v2 = None
+        for j in order[1:6]:
+            cand = pts[j] - pts[seed]
+            cosang = abs(np.dot(cand, v1)) / (
+                np.linalg.norm(cand) * np.linalg.norm(v1) + 1e-30
+            )
+            if cosang < 0.7:  # > ~45 degrees apart
+                v2 = cand
+                break
+        if v2 is None:
+            return None
 
-    grid = {(0, 0): seed, (1, 0): order[0]}
-    j2, _ = nearest(pts[seed] + v2, {seed, order[0]}, pitch_tol * pitch * 2)
-    if j2 is None:
-        return None
-    grid[(0, 1)] = j2
-    used = set(grid.values())
+        grid = {(0, 0): seed, (1, 0): order[0]}
+        j2, _ = nearest(pts[seed] + v2, {seed, order[0]}, pitch_tol * pitch * 2)
+        if j2 is None:
+            return None
+        grid[(0, 1)] = j2
+        used = set(grid.values())
 
-    # BFS growth: predict each new vertex by linear extrapolation from two
-    # collinear predecessors (local step adapts to perspective).
-    frontier = list(grid.keys())
-    while frontier:
-        new_frontier = []
-        for (i, j) in frontier:
-            for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-                tgt = (i + di, j + dj)
-                if tgt in grid:
-                    continue
-                # Prefer extrapolation from two predecessors along (di, dj).
-                p1 = grid.get((i, j))
-                p0 = grid.get((i - di, j - dj))
-                if p0 is not None:
-                    pred = 2 * pts[p1] - pts[p0]
-                else:
-                    # Fall back to a parallel step copied from a neighbor row.
-                    pred = None
-                    for oi, oj in ((dj, di), (-dj, -di)):
-                        a = grid.get((i + oi, j + oj))
-                        b = grid.get((i + oi + di, j + oj + dj))
-                        if a is not None and b is not None:
-                            pred = pts[p1] + (pts[b] - pts[a])
-                            break
-                    if pred is None:
+        # BFS growth: predict each new vertex by linear extrapolation from
+        # two collinear predecessors (local step adapts to perspective and,
+        # to first order, lens distortion).
+        frontier = list(grid.keys())
+        while frontier:
+            new_frontier = []
+            for (i, j) in frontier:
+                for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    tgt = (i + di, j + dj)
+                    if tgt in grid:
                         continue
-                cand, dist = nearest(pred, used, pitch_tol * pitch)
-                if cand is not None:
-                    grid[tgt] = cand
-                    used.add(cand)
-                    new_frontier.append(tgt)
-        frontier = new_frontier
+                    # Prefer extrapolation from predecessors along (di, dj).
+                    p1 = grid.get((i, j))
+                    p0 = grid.get((i - di, j - dj))
+                    if p0 is not None:
+                        pred = 2 * pts[p1] - pts[p0]
+                    else:
+                        # Parallel step copied from a neighbor row.
+                        pred = None
+                        for oi, oj in ((dj, di), (-dj, -di)):
+                            a = grid.get((i + oi, j + oj))
+                            b = grid.get((i + oi + di, j + oj + dj))
+                            if a is not None and b is not None:
+                                pred = pts[p1] + (pts[b] - pts[a])
+                                break
+                        if pred is None:
+                            continue
+                    cand, _ = nearest(pred, used, pitch_tol * pitch)
+                    if cand is not None:
+                        grid[tgt] = cand
+                        used.add(cand)
+                        new_frontier.append(tgt)
+            frontier = new_frontier
+        return grid if len(grid) >= n_needed else None
 
-    if len(grid) < n_needed:
+    grid = None
+    for seed in seed_order[:5]:
+        grid = grow_from(int(seed))
+        if grid is not None:
+            break
+    if grid is None:
         return None
 
-    # Extract a complete window whose spans match {rows, cols}, then emit in
-    # the REFERENCE's uvs convention: consecutive points step along the
-    # board_shape[0]-point axis, i.e. uvs.reshape(board_shape[1],
+    # Extract the BEST complete window whose spans match {rows, cols}: BFS
+    # growth can absorb lattice-consistent clutter corners just off the
+    # board, creating several complete windows; true board corners carry the
+    # strongest saddle scores, so rank windows by (min cell score, total
+    # score) — a window containing even one clutter cell loses on the min.
+    # Output follows the REFERENCE's uvs convention: consecutive points step
+    # along the board_shape[0]-point axis, i.e. uvs.reshape(board_shape[1],
     # board_shape[0], 2) recovers the lattice (detection.py:461 reshape).
     keys = np.array(list(grid.keys()))
     imin, jmin = keys.min(0)
     imax, jmax = keys.max(0)
+    windows = []
     for (nr, nc) in ((cols, rows), (rows, cols)):
         for i0 in range(imin, imax - nr + 2):
             for j0 in range(jmin, jmax - nc + 2):
                 cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
                 if all(c in grid for c in cells):
-                    uvs = np.stack([pts[grid[c]] for c in cells])
-                    uv_grid = uvs.reshape(nr, nc, 2)
-                    if (nr, nc) == (rows, cols):
-                        # Make axis0 the cols-count axis.
-                        uv_grid = uv_grid.transpose(1, 0, 2)
-                    return uv_grid.reshape(-1, 2)
+                    cell_sc = np.array([sc[grid[c]] for c in cells])
+                    windows.append(((cell_sc.min(), cell_sc.sum()), (nr, nc), cells))
+    windows.sort(key=lambda wdw: wdw[0], reverse=True)
+
+    def smooth_enough(uv_grid):
+        # Lattice validity: second differences along each axis measure the
+        # local curvature of the point grid. A genuine board is smooth even
+        # under strong lens distortion/perspective (measured max ~0.8 px at
+        # k1=-0.28); a clutter-substituted cell jumps by ~0.35*pitch (the
+        # BFS admission tolerance, ~10 px). Threshold well between the two.
+        lim = max(0.15 * pitch, 2.5)
+        for ax in (0, 1):
+            d2d = np.diff(uv_grid, n=2, axis=ax)
+            if d2d.size and np.linalg.norm(d2d, axis=-1).max() > lim:
+                return False
+        return True
+
+    for _, (nr, nc), cells in windows:
+        uvs = np.stack([pts[grid[c]] for c in cells])
+        uv_grid = uvs.reshape(nr, nc, 2)
+        if not smooth_enough(uv_grid):
+            continue
+        if (nr, nc) == (rows, cols):
+            # Make axis0 the cols-count axis.
+            uv_grid = uv_grid.transpose(1, 0, 2)
+        return uv_grid.reshape(-1, 2)
     return None
 
 
@@ -384,6 +434,46 @@ def extend_grid(uv_grid, extend_rows, extend_cols):
     return ext.reshape(rows, cols, 2)
 
 
+def _extend_grid_local(uv_grid, extend_rows, extend_cols, window=3):
+    """Quadrant-local grid extension for the anchor probes.
+
+    Same output as ``extend_grid`` but each quadrant of the extended grid is
+    extrapolated from a homography fitted to the nearest ``window x window``
+    interior corners. A single global homography is biased by lens
+    distortion exactly where the anchor probes live (1-3 cells outside the
+    board edge — measured ~several px at k1=-0.28, enough to collapse the
+    0.2 anchor score gap); the local fit tracks the curvature to first
+    order.
+    """
+    uv_grid = jnp.asarray(uv_grid)
+    R, C = uv_grid.shape[0], uv_grid.shape[1]
+    rows = R + 2 * extend_rows
+    cols = C + 2 * extend_cols
+    ys, xs = np.mgrid[0:rows, 0:cols]
+    xy_full = jnp.asarray(np.stack([xs, ys], axis=-1), dtype=uv_grid.dtype)
+    w = min(window, R, C)
+    corner_windows = [(0, 0), (0, C - w), (R - w, C - w), (R - w, 0)]
+    exts = []
+    for (i0, j0) in corner_windows:
+        src = xy_full[
+            extend_rows + i0 : extend_rows + i0 + w,
+            extend_cols + j0 : extend_cols + j0 + w,
+        ].reshape(-1, 2)
+        dst = uv_grid[i0 : i0 + w, j0 : j0 + w].reshape(-1, 2)
+        H = fit_homography(src, dst)
+        exts.append(
+            apply_homography(H, xy_full.reshape(-1, 2)).reshape(rows, cols, 2)
+        )
+    exts = jnp.stack(exts)  # (4, rows, cols, 2)
+    top = ys < rows / 2
+    left = xs < cols / 2
+    quad = np.where(top & left, 0, np.where(top, 1, np.where(~left, 2, 3)))
+    onehot = jnp.asarray(
+        np.eye(4)[quad], dtype=uv_grid.dtype
+    )  # (rows, cols, 4)
+    return jnp.einsum("qrcd,rcq->rcd", exts, onehot)
+
+
 def _generate_anchor_template(size, dtype=jnp.float32):
     """White square with a black circle in the top-left (detection.py:408-412)."""
     ys, xs = np.mgrid[0:size, 0:size]
@@ -411,15 +501,28 @@ def _anchor_match_scores_impl(image, ext, template_size=40):
         ]
     )  # (4, 4, 2)
 
+    # Detrend basis: removing the best-fit linear ramp before correlating
+    # makes the anchor score invariant to lighting gradients/vignetting
+    # across the 40x40 region (Pearson alone only removes the mean; a ramp
+    # decorrelates the circle template enough to shrink the 0.2 score gap).
+    ys, xs = np.mgrid[0:s, 0:s].astype(np.float64)
+    X = np.stack([np.ones(s * s), xs.ravel(), ys.ravel()], axis=1)
+    P = np.linalg.pinv(X)  # (3, s*s)
+    Xj = jnp.asarray(X, image.dtype)
+    Pj = jnp.asarray(P, image.dtype)
+
+    def detrend(v):
+        return v - Xj @ (Pj @ v)
+
+    t = detrend(template.reshape(-1))
+    t_norm = jnp.sqrt(jnp.sum(t**2))
+
     def score_one(source_pts):
         M = fit_homography(source_pts, target)
         region = warp_perspective(image, M, (s, s))
-        r = region.reshape(-1)
-        t = template.reshape(-1)
-        rc = r - jnp.mean(r)
-        tc = t - jnp.mean(t)
-        denom = jnp.sqrt(jnp.sum(rc**2) * jnp.sum(tc**2))
-        return jnp.where(denom > 1e-8, jnp.sum(rc * tc) / denom, 0.0)
+        r = detrend(region.reshape(-1))
+        denom = jnp.sqrt(jnp.sum(r**2)) * t_norm
+        return jnp.where(denom > 1e-8, jnp.sum(r * t) / denom, 0.0)
 
     return jax.vmap(score_one)(all_source)
 
@@ -434,7 +537,7 @@ def _anchor_match_scores(image, ext, template_size=40):
 @with_highest_precision
 def _batched_anchor_scores(gray_b, grids_b, template_size=40):
     """(B, H, W) grays + (B, cols, rows, 2) grids -> (B, 4) anchor scores."""
-    exts = jax.vmap(lambda g: extend_grid(g, 3, 1))(grids_b)
+    exts = jax.vmap(lambda g: _extend_grid_local(g, 3, 1))(grids_b)
     return jax.vmap(
         lambda im, e: _anchor_match_scores_impl(im, e, template_size)
     )(gray_b, exts)
@@ -457,7 +560,7 @@ def reorder_chessboard_corners(image, uvs, board_shape, template_size=40):
     """
     image = _to_gray_f(image)
     uv_grid = np.asarray(uvs).reshape(board_shape[1], board_shape[0], 2)
-    ext = extend_grid(jnp.asarray(uv_grid, dtype=image.dtype), 3, 1)
+    ext = _extend_grid_local(jnp.asarray(uv_grid, dtype=image.dtype), 3, 1)
     match_scores = np.asarray(_anchor_match_scores(image, ext, template_size))
     best = int(np.argmax(match_scores))
     if best in (2, 3):  # best match on the bottom row -> flip rows

@@ -10,7 +10,14 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["render_board_image", "render_board_view", "random_view_homography"]
+__all__ = [
+    "render_board_image",
+    "render_board_view",
+    "random_view_homography",
+    "distort_pixels",
+    "undistort_pixel_map",
+    "degrade_view",
+]
 
 
 def random_view_homography(
@@ -85,6 +92,134 @@ def render_board_image(
     return img, corners
 
 
+def distort_pixels(uv, camera_matrix, dist_coefs):
+    """Ideal (pinhole) pixel coords -> distorted pixel coords.
+
+    The reference's radial model (geometry.py:277-325): normalize with K,
+    scale x,y by 1 + k1 r^2 + k2 r^4, re-project with K.
+    """
+    K = np.asarray(camera_matrix, float)
+    d = np.asarray(dist_coefs, float).ravel()
+    k1 = d[0] if d.size > 0 else 0.0
+    k2 = d[1] if d.size > 1 else 0.0
+    xy = (np.asarray(uv, float) - K[:2, 2]) / np.array([K[0, 0], K[1, 1]])
+    r2 = np.sum(xy**2, axis=-1, keepdims=True)
+    xy_d = xy * (1.0 + k1 * r2 + k2 * r2**2)
+    return xy_d * np.array([K[0, 0], K[1, 1]]) + K[:2, 2]
+
+
+def undistort_pixel_map(out_size, camera_matrix, dist_coefs, n_iters=10):
+    """Per-output-pixel map: distorted pixel -> ideal (pinhole) pixel.
+
+    Fixed-point inversion of the radial model (the same iteration as
+    ops.projection.undistort_normalized, in numpy for host rendering).
+    Returns (h, w, 2) float32 ideal-pixel coordinates — the cv2.remap
+    source map for rendering what a distorted lens actually sees.
+    """
+    K = np.asarray(camera_matrix, float)
+    d = np.asarray(dist_coefs, float).ravel()
+    k1 = d[0] if d.size > 0 else 0.0
+    k2 = d[1] if d.size > 1 else 0.0
+    h, w = out_size
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+    xd = (xs - K[0, 2]) / K[0, 0]
+    yd = (ys - K[1, 2]) / K[1, 1]
+    xu, yu = xd.copy(), yd.copy()
+    for _ in range(n_iters):
+        r2 = xu**2 + yu**2
+        scale = 1.0 + k1 * r2 + k2 * r2**2
+        xu = xd / scale
+        yu = yd / scale
+    return np.stack(
+        [xu * K[0, 0] + K[0, 2], yu * K[1, 1] + K[1, 2]], axis=-1
+    ).astype(np.float32)
+
+
+def degrade_view(
+    view,
+    rng,
+    lighting_gradient=0.0,
+    vignette=0.0,
+    clutter=0,
+    occlusion_px=0,
+    motion_blur_px=0,
+    board_region=None,
+):
+    """Apply realistic nuisance factors to a rendered view, in place order:
+    clutter shapes -> occlusion bar -> lighting gradient -> vignette ->
+    motion blur. ``board_region`` ((x0, y0), (x1, y1)) aims the occlusion
+    bar at the board; clutter lands anywhere outside it.
+    """
+    import cv2
+
+    view = np.asarray(view, float).copy()
+    h, w = view.shape[:2]
+    for _ in range(int(clutter)):
+        shade = float(rng.uniform(0, 255))
+        kind = rng.integers(0, 3)
+        cx, cy = int(rng.uniform(0, w)), int(rng.uniform(0, h))
+        if board_region is not None:
+            (bx0, by0), (bx1, by1) = board_region
+            # Keep clutter centers off the board so detection-rate tests
+            # separate "busy scene" from "occluded target".
+            for _ in range(10):
+                if not (bx0 <= cx <= bx1 and by0 <= cy <= by1):
+                    break
+                cx, cy = int(rng.uniform(0, w)), int(rng.uniform(0, h))
+        size = int(rng.uniform(10, 60))
+        if kind == 0:
+            cv2.rectangle(
+                view, (cx - size, cy - size), (cx + size, cy + size),
+                shade, -1,
+            )
+        elif kind == 1:
+            cv2.circle(view, (cx, cy), size, shade, -1)
+        else:
+            ang = rng.uniform(0, np.pi)
+            dx, dy = int(np.cos(ang) * size * 3), int(np.sin(ang) * size * 3)
+            cv2.line(
+                view, (cx - dx, cy - dy), (cx + dx, cy + dy), shade,
+                int(rng.uniform(2, 8)),
+            )
+    if occlusion_px > 0:
+        # A bar across the board (cable / limb in frame).
+        if board_region is not None:
+            (bx0, by0), (bx1, by1) = board_region
+            cx, cy = (bx0 + bx1) / 2, (by0 + by1) / 2
+        else:
+            cx, cy = w / 2, h / 2
+        ang = rng.uniform(0, np.pi)
+        dx, dy = np.cos(ang) * w, np.sin(ang) * w
+        cv2.line(
+            view,
+            (int(cx - dx), int(cy - dy)),
+            (int(cx + dx), int(cy + dy)),
+            float(rng.uniform(0, 255)),
+            int(occlusion_px),
+        )
+    if lighting_gradient > 0:
+        gx, gy = rng.uniform(-1, 1, 2) * lighting_gradient
+        ys, xs = np.mgrid[0:h, 0:w]
+        ramp = 1.0 + gx * (xs / w - 0.5) + gy * (ys / h - 0.5)
+        view = view * np.clip(ramp, 0.05, None)
+    if vignette > 0:
+        ys, xs = np.mgrid[0:h, 0:w]
+        r2 = ((xs - w / 2) / (w / 2)) ** 2 + ((ys - h / 2) / (h / 2)) ** 2
+        view = view * (1.0 - vignette * r2 / 2.0)
+    if motion_blur_px > 1:
+        k = np.zeros((motion_blur_px, motion_blur_px))
+        ang = rng.uniform(0, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        for t in np.linspace(-1, 1, 4 * motion_blur_px):
+            x = int(round(motion_blur_px / 2 + t * motion_blur_px / 2 * c))
+            y = int(round(motion_blur_px / 2 + t * motion_blur_px / 2 * s))
+            if 0 <= x < motion_blur_px and 0 <= y < motion_blur_px:
+                k[y, x] = 1.0
+        k /= k.sum()
+        view = cv2.filter2D(view, -1, k)
+    return np.clip(view, 0, 255)
+
+
 def render_board_view(
     H_board_to_view,
     out_size=(480, 640),
@@ -93,27 +228,67 @@ def render_board_view(
     noise=2.0,
     blur_sigma=1.0,
     seed=0,
+    camera_matrix=None,
+    dist_coefs=None,
+    lighting_gradient=0.0,
+    vignette=0.0,
+    clutter=0,
+    occlusion_px=0,
+    motion_blur_px=0,
 ):
     """Warp the canonical board through a homography into a camera view.
 
     Returns (view image (h, w) float, gt_corners (rows*cols, 2) in view
-    pixel coords). Homography maps canonical-image pixels -> view pixels.
+    pixel coords). Homography maps canonical-image pixels -> IDEAL (pinhole)
+    view pixels; with ``camera_matrix``+``dist_coefs`` set, the view is
+    rendered through the radial k1,k2 lens (one fused remap canonical ->
+    distorted view) and gt corners are returned in DISTORTED pixel coords —
+    i.e. what a real camera would deliver (VERDICT r1: the detector must be
+    validated on lens-distorted pixels). The remaining kwargs add lighting
+    gradients, clutter, occlusion and motion blur via ``degrade_view``.
     """
     import cv2
 
     canonical, corners = render_board_image(board_shape, square_px)
     h, w = out_size
-    view = cv2.warpPerspective(
-        canonical, np.asarray(H_board_to_view), (w, h),
-        flags=cv2.INTER_LINEAR, borderValue=180.0,
-    )
+    H = np.asarray(H_board_to_view, float)
+    distorted = camera_matrix is not None and dist_coefs is not None
+    if distorted:
+        # Compose: output (distorted) pixel -> ideal pixel -> canonical.
+        ideal_map = undistort_pixel_map(out_size, camera_matrix, dist_coefs)
+        Hinv = np.linalg.inv(H)
+        pts = np.concatenate(
+            [ideal_map.reshape(-1, 2), np.ones((h * w, 1), np.float32)], 1
+        )
+        src = pts @ Hinv.T
+        src = (src[:, :2] / src[:, 2:]).reshape(h, w, 2).astype(np.float32)
+        view = cv2.remap(
+            canonical, src[..., 0], src[..., 1], cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_CONSTANT, borderValue=180.0,
+        )
+    else:
+        view = cv2.warpPerspective(
+            canonical, H, (w, h), flags=cv2.INTER_LINEAR, borderValue=180.0,
+        )
+    pts = np.concatenate([corners, np.ones((len(corners), 1))], axis=1)
+    proj = pts @ H.T
+    gt = proj[:, :2] / proj[:, 2:]
+    if distorted:
+        gt = distort_pixels(gt, camera_matrix, dist_coefs)
+
+    rng = np.random.default_rng(seed)
+    if clutter or occlusion_px or lighting_gradient or vignette or motion_blur_px:
+        pad = 0.05 * max(gt.max(0) - gt.min(0))
+        board_region = (tuple(gt.min(0) - pad), tuple(gt.max(0) + pad))
+        view = degrade_view(
+            view, rng,
+            lighting_gradient=lighting_gradient, vignette=vignette,
+            clutter=clutter, occlusion_px=occlusion_px,
+            motion_blur_px=motion_blur_px, board_region=board_region,
+        )
     if blur_sigma > 0:
         view = cv2.GaussianBlur(view, (0, 0), blur_sigma)
-    rng = np.random.default_rng(seed)
     if noise > 0:
         view = view + rng.standard_normal(view.shape) * noise
     view = np.clip(view, 0, 255)
-    pts = np.concatenate([corners, np.ones((len(corners), 1))], axis=1)
-    proj = pts @ np.asarray(H_board_to_view).T
-    gt = proj[:, :2] / proj[:, 2:]
     return view, gt

@@ -216,6 +216,41 @@ _jit_residuals = _jax.jit(_compute_residuals)
 _jit_cost = _jax.jit(_compute_cost, static_argnames=("opts", "axis_name"))
 
 
+def _emit_lm_history(info, verbose):
+    """Per-iteration optimizer telemetry (scipy verbose=2 parity).
+
+    The reference surfaces cost/step/optimality per TRF iteration on stdout
+    (bundle_adjustment.py:302 verbose=2); here the trace is recorded inside
+    the XLA program (lm_core.LMState.hist), logged as JSONL metrics events,
+    and printed as a table when ``verbose``.
+    """
+    from ..utils.metrics import metrics
+    from .lm_core import HIST_FIELDS
+
+    hist = info.get("history")
+    if hist is None:
+        return
+    hist = np.asarray(hist)
+    n = min(int(info["n_iters"]), hist.shape[0])
+    for i in range(n):
+        metrics.log(
+            "ba_lm_iter",
+            it=i,
+            **{k: float(v) for k, v in zip(HIST_FIELDS, hist[i])},
+        )
+    if verbose and n:
+        print(
+            f"{'iter':>5} {'cost':>14} {'grad_norm':>11} {'step_norm':>11} "
+            f"{'lambda':>9} {'tries':>5}"
+        )
+        for i in range(n):
+            c, g, s, lam, t, _ = hist[i]
+            print(
+                f"{i:>5} {c:>14.6e} {g:>11.3e} {s:>11.3e} {lam:>9.2e} "
+                f"{int(t):>5}"
+            )
+
+
 def _ba_fingerprint(all_calib_uvs, seed, n_frames, outlier_threshold):
     """Content hash identifying a BA problem for checkpoint validation.
 
@@ -434,6 +469,7 @@ def bundle_adjust(
         max_iters=opt_kwargs.get("max_iters", 100),
         jac_dtype=opt_kwargs.get("jac_dtype", default_jac_dtype),
         solve_dtype=opt_kwargs.get("solve_dtype", None),
+        frame_chunk=opt_kwargs.get("frame_chunk", None),
     )
 
     def _solve(cam_in, poses_in, chunk_opts, init_lam=None):
@@ -518,6 +554,8 @@ def bundle_adjust(
             info = dict(info)
             info["n_iters"] = it_done
             info["initial_cost"] = first_cost
+
+    _emit_lm_history(info, verbose)
 
     if repair_poses and mesh is not None:
         # The repair polish runs unsharded; on meshes it would materialize

@@ -45,6 +45,7 @@ from ..ops.rotation import so3_exp
 __all__ = [
     "LMOptions",
     "LMState",
+    "HIST_FIELDS",
     "project_board_points",
     "compute_residuals",
     "compute_cost",
@@ -91,6 +92,15 @@ class LMOptions:
     # tolerate f32: measured identical final cost and iteration count to
     # pure f64 at ~1.6x less wall on TPU (f64 there is emulated).
     jac_dtype: str | None = None
+    # Frames per linearization chunk. None materializes all (C, F) Jacobian
+    # blocks in one shot (fastest for small problems). An int bounds peak
+    # memory at O(C * frame_chunk * N * 36) transients by lax.scan-ning the
+    # block build AND the Schur reduction over frame chunks — the dense
+    # one-shot path materializes O(C * F * N * 36) jacfwd transients, which
+    # at BASELINE config 5 scale (64 cams x 20k frames) is tens of GB.
+    # Observation-sparse in effect: unobserved (camera, frame) pairs cost
+    # FLOPs inside a chunk but never persist blocks.
+    frame_chunk: int | None = None
 
 
 class LMState(NamedTuple):
@@ -101,6 +111,15 @@ class LMState(NamedTuple):
     it: jnp.ndarray  # outer iteration counter
     done: jnp.ndarray  # convergence flag
     slow_steps: jnp.ndarray  # consecutive sub-ftol easy steps (patience)
+    grad_norm: jnp.ndarray  # gradient norm at the last linearization
+    nfev: jnp.ndarray  # cumulative cost evaluations (scipy nfev analogue)
+    # Per-iteration trace (max_iters, 6): cost, grad_norm, step_norm,
+    # lambda, damping tries, relative cost drop — scipy verbose=2 parity
+    # (bundle_adjustment.py:302) without leaving the XLA program.
+    hist: jnp.ndarray
+
+
+HIST_FIELDS = ("cost", "grad_norm", "step_norm", "lambda", "tries", "rel_drop")
 
 
 def _unpack_cam(cam12):
@@ -175,17 +194,35 @@ def compute_cost(cam_params, pose_params, obs, mask, objpoints, opts, axis_name=
 
 
 class NormalBlocks(NamedTuple):
+    """Block normal equations.
+
+    Unchunked layout (frame_chunk=None): V (F, 6, 6), W (C, F, 12, 6),
+    g_pose (F, 6). Chunked layout (scan over ``nc`` chunks of ``ck`` frames,
+    F padded to nc*ck): V (nc, ck, 6, 6), W (nc, C, ck, 12, 6),
+    g_pose (nc, ck, 6) — ``schur_solve`` dispatches on W.ndim.
+    """
+
     U: jnp.ndarray  # (C, 12, 12)  camera blocks (summed over local frames)
-    V: jnp.ndarray  # (F, 6, 6)    pose blocks
-    W: jnp.ndarray  # (C, F, 12, 6) cross blocks
+    V: jnp.ndarray  # pose blocks (see layouts above)
+    W: jnp.ndarray  # cross blocks
     g_cam: jnp.ndarray  # (C, 12)  gradient (camera part, local sum)
-    g_pose: jnp.ndarray  # (F, 6)  gradient (pose part)
+    g_pose: jnp.ndarray  # gradient (pose part)
     cost: jnp.ndarray  # robust cost at linearization point (local sum)
+
+
+def _pvary(tree, axis_name):
+    """Mark fresh arrays as varying over ``axis_name`` (shard_map scan
+    carries must type-match the varying outputs they accumulate)."""
+    if axis_name is None:
+        return tree
+    return jax.tree.map(
+        lambda x: lax.pcast(x, axis_name, to="varying"), tree
+    )
 
 
 def build_normal_blocks(
     cam_params, pose_params, obs, mask, objpoints, opts: LMOptions,
-    cam_free=None, pose_free=None,
+    cam_free=None, pose_free=None, axis_name=None,
 ):
     """Linearize at the current params and form block normal equations.
 
@@ -223,30 +260,83 @@ def build_normal_blocks(
     per_f = jax.vmap(per_cf, in_axes=(None, 0, 0, 0))  # over frames
     per_cf_all = jax.vmap(per_f, in_axes=(0, None, 0, 0))  # over cameras
 
-    U_all, V_all, W_all, gc_all, gp_all, cost_all = per_cf_all(
-        cam_params, pose_params, obs, mask
-    )
-    # (C,F,12,12), (C,F,6,6), (C,F,12,6), (C,F,12), (C,F,6), (C,F)
+    cf = None if cam_free is None else cam_free.astype(cam_params.dtype)
 
-    if cam_free is not None:
-        cf = cam_free.astype(cam_params.dtype)  # (C, 12)
-        U_all = U_all * cf[:, None, :, None] * cf[:, None, None, :]
-        W_all = W_all * cf[:, None, :, None]
-        gc_all = gc_all * cf[:, None, :]
-    if pose_free is not None:
-        pf = pose_free.astype(pose_params.dtype)  # (F, 6)
-        V_all = V_all * pf[None, :, :, None] * pf[None, :, None, :]
-        W_all = W_all * pf[None, :, None, :]
-        gp_all = gp_all * pf[None, :, :]
+    def linearize(pose_k, obs_k, mask_k, pose_free_k):
+        """Blocks for one frame slab: ((C,12,12),(Fk,6,6),(C,Fk,12,6),...)."""
+        U_all, V_all, W_all, gc_all, gp_all, cost_all = per_cf_all(
+            cam_params, pose_k, obs_k, mask_k
+        )
+        # (C,Fk,12,12), (C,Fk,6,6), (C,Fk,12,6), (C,Fk,12), (C,Fk,6), (C,Fk)
+        if cf is not None:
+            U_all = U_all * cf[:, None, :, None] * cf[:, None, None, :]
+            W_all = W_all * cf[:, None, :, None]
+            gc_all = gc_all * cf[:, None, :]
+        if pose_free_k is not None:
+            pf = pose_free_k.astype(pose_k.dtype)  # (Fk, 6)
+            V_all = V_all * pf[None, :, :, None] * pf[None, :, None, :]
+            W_all = W_all * pf[None, :, None, :]
+            gp_all = gp_all * pf[None, :, :]
+        return (
+            jnp.sum(U_all, axis=1),
+            jnp.sum(V_all, axis=0),
+            W_all,
+            jnp.sum(gc_all, axis=1),
+            jnp.sum(gp_all, axis=0),
+            jnp.sum(cost_all),
+        )
 
-    return NormalBlocks(
-        U=jnp.sum(U_all, axis=1),
-        V=jnp.sum(V_all, axis=0),
-        W=W_all,
-        g_cam=jnp.sum(gc_all, axis=1),
-        g_pose=jnp.sum(gp_all, axis=0),
-        cost=jnp.sum(cost_all),
+    chunk = opts.frame_chunk
+    if chunk is None or chunk >= F:
+        U, V, W, g_cam, g_pose, cost = linearize(pose_params, obs, mask, pose_free)
+        return NormalBlocks(U=U, V=V, W=W, g_cam=g_cam, g_pose=g_pose, cost=cost)
+
+    # Chunked: scan over frame slabs; camera accumulators carried, per-frame
+    # blocks emitted in chunked layout (consumed chunked by schur_solve —
+    # never re-materialized as one (C, F, ...) array).
+    pad = (-F) % chunk
+    nc = (F + pad) // chunk
+
+    def pad_frames(x, axis):
+        if not pad:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    pose_c = pad_frames(pose_params, 0).reshape(nc, chunk, 6)
+    obs_c = jnp.moveaxis(
+        pad_frames(obs, 1).reshape(C, nc, chunk, *obs.shape[2:]), 1, 0
     )
+    mask_c = jnp.moveaxis(
+        pad_frames(mask, 1).reshape(C, nc, chunk, *mask.shape[2:]), 1, 0
+    )
+    pf_c = (
+        None
+        if pose_free is None
+        else pad_frames(pose_free, 0).reshape(nc, chunk, 6)
+    )
+
+    dtype = cam_params.dtype
+
+    def body(carry, xs):
+        U_acc, g_acc, cost_acc = carry
+        pose_k, obs_k, mask_k = xs[:3]
+        pfk = xs[3] if pf_c is not None else None
+        U_k, V_k, W_k, gc_k, gp_k, cost_k = linearize(pose_k, obs_k, mask_k, pfk)
+        return (U_acc + U_k, g_acc + gc_k, cost_acc + cost_k), (V_k, W_k, gp_k)
+
+    init = _pvary(
+        (
+            jnp.zeros((C, 12, 12), dtype),
+            jnp.zeros((C, 12), dtype),
+            jnp.zeros((), dtype),
+        ),
+        axis_name,
+    )
+    xs = (pose_c, obs_c, mask_c) + (() if pf_c is None else (pf_c,))
+    (U, g_cam, cost), (V_s, W_s, gp_s) = lax.scan(body, init, xs)
+    return NormalBlocks(U=U, V=V_s, W=W_s, g_cam=g_cam, g_pose=gp_s, cost=cost)
 
 
 def _value_and_jacs(cam12, pose6, objpoints, jac_dtype=None):
@@ -319,15 +409,12 @@ def schur_solve(blocks: NormalBlocks, lam, axis_name=None, eps=1e-12, opts=None)
     cast costs O(C^2 + F) memory traffic, negligible next to block building.
     """
     C = blocks.U.shape[0]
-    F = blocks.V.shape[0]
     dtype = blocks.U.dtype
     sd = jnp.dtype(opts.solve_dtype) if opts is not None and opts.solve_dtype else dtype
+    chunked = blocks.W.ndim == 5
 
     U = blocks.U.astype(sd)
     g_cam = blocks.g_cam.astype(sd)
-    V = blocks.V.astype(sd)
-    W = blocks.W.astype(sd)
-    g_pose = blocks.g_pose.astype(sd)
     lam = jnp.asarray(lam, sd)
     if axis_name is not None:
         U = lax.psum(U, axis_name)
@@ -336,32 +423,79 @@ def schur_solve(blocks: NormalBlocks, lam, axis_name=None, eps=1e-12, opts=None)
     # Damped diagonal; identity-pad zero diagonals (frozen params / empty
     # frames) so every block stays invertible with a zero update.
     diag_U = jnp.diagonal(U, axis1=-2, axis2=-1)
-    diag_V = jnp.diagonal(V, axis1=-2, axis2=-1)
     U_d = U + _diag_embed(lam * diag_U + eps + (diag_U <= 0))
-    V_d = V + _diag_embed(lam * diag_V + eps + (diag_V <= 0))
 
-    # Batched 6x6 pose-block inverses (equilibrated, SPD Cholesky).
-    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diagonal(V_d, axis1=-2, axis2=-1), 1e-30))
-    V_s = V_d * d[..., :, None] * d[..., None, :]
-    Vinv_s = _spd_inverse(V_s)
-    V_inv = Vinv_s * d[..., :, None] * d[..., None, :]  # (F, 6, 6)
+    def damped_vinv(V):
+        """Damped, equilibrated, batched SPD 6x6 pose-block inverses."""
+        diag_V = jnp.diagonal(V, axis1=-2, axis2=-1)
+        V_d = V + _diag_embed(lam * diag_V + eps + (diag_V <= 0))
+        d = 1.0 / jnp.sqrt(
+            jnp.clip(jnp.diagonal(V_d, axis1=-2, axis2=-1), 1e-30)
+        )
+        V_s = V_d * d[..., :, None] * d[..., None, :]
+        return _spd_inverse(V_s) * d[..., :, None] * d[..., None, :]
 
-    # Reduced camera system S = U - sum_f W_f V_f^-1 W_f^T (dense 12C x 12C).
-    WVinv = jnp.einsum("cfij,fjk->cfik", W, V_inv)  # (C, F, 12, 6)
-    S_cross = jnp.einsum("afik,bfjk->aibj", WVinv, W)  # (C,12,C,12)
-    rhs_cross = jnp.einsum("cfik,fk->ci", WVinv, g_pose)  # (C, 12)
+    def reduce_slab(V, W, g_pose):
+        """Schur contribution of one frame slab: S_cross, rhs_cross, V_inv."""
+        V_inv = damped_vinv(V)
+        WVinv = jnp.einsum("cfij,fjk->cfik", W, V_inv)
+        S_cross = jnp.einsum("afik,bfjk->aibj", WVinv, W)
+        rhs_cross = jnp.einsum("cfik,fk->ci", WVinv, g_pose)
+        return S_cross, rhs_cross, V_inv
+
+    def back_substitute(V_inv, W, g_pose, dcam):
+        """dpose_f = V_f^-1 (g_pose_f - W^T dcam) for one frame slab."""
+        Wt_dcam = jnp.einsum("cfik,ci->fk", W, dcam)
+        return jnp.einsum("fij,fj->fi", V_inv, g_pose - Wt_dcam)
+
+    if not chunked:
+        V = blocks.V.astype(sd)
+        W = blocks.W.astype(sd)
+        g_pose = blocks.g_pose.astype(sd)
+        S_cross, rhs_cross, V_inv = reduce_slab(V, W, g_pose)
+        if axis_name is not None:
+            S_cross = lax.psum(S_cross, axis_name)
+            rhs_cross = lax.psum(rhs_cross, axis_name)
+        S = _blockdiag_embed(U_d, C) - S_cross.reshape(12 * C, 12 * C)
+        rhs = (g_cam - rhs_cross).reshape(12 * C)
+        dcam = _equilibrated_solve(S, rhs).reshape(C, 12)
+        dpose = back_substitute(V_inv, W, g_pose, dcam)
+        return dcam.astype(dtype), dpose.astype(dtype)
+
+    # Chunked layout: scan the Schur reduction over frame slabs so peak
+    # memory is O(C * chunk * 72) regardless of F (BASELINE config 5 path).
+    V_c = blocks.V.astype(sd)  # (nc, ck, 6, 6)
+    W_c = blocks.W.astype(sd)  # (nc, C, ck, 12, 6)
+    gp_c = blocks.g_pose.astype(sd)  # (nc, ck, 6)
+
+    def body(carry, xs):
+        S_acc, r_acc = carry
+        S_k, r_k, V_inv_k = reduce_slab(*xs)
+        return (S_acc + S_k, r_acc + r_k), V_inv_k
+
+    init = _pvary(
+        (
+            jnp.zeros((C, 12, C, 12), sd),
+            jnp.zeros((C, 12), sd),
+        ),
+        axis_name,
+    )
+    (S_cross, rhs_cross), V_inv_c = lax.scan(body, init, (V_c, W_c, gp_c))
     if axis_name is not None:
         S_cross = lax.psum(S_cross, axis_name)
         rhs_cross = lax.psum(rhs_cross, axis_name)
 
     S = _blockdiag_embed(U_d, C) - S_cross.reshape(12 * C, 12 * C)
     rhs = (g_cam - rhs_cross).reshape(12 * C)
-
     dcam = _equilibrated_solve(S, rhs).reshape(C, 12)
 
-    # Back-substitute poses locally: dpose_f = V_f^-1 (g_pose_f - W^T dcam).
-    Wt_dcam = jnp.einsum("cfik,ci->fk", W, dcam)  # (F, 6)
-    dpose = jnp.einsum("fij,fj->fi", V_inv, g_pose - Wt_dcam)
+    _, dpose_c = lax.scan(
+        lambda c, xs: (c, back_substitute(*xs, dcam)),
+        jnp.zeros((), sd),
+        (V_inv_c, W_c, gp_c),
+    )
+    # (nc, ck, 6) -> (nc*ck, 6); callers slice off frame padding.
+    dpose = dpose_c.reshape(-1, 6)
     return dcam.astype(dtype), dpose.astype(dtype)
 
 
@@ -414,7 +548,7 @@ def lm_solve(
     def outer_body(state: LMState):
         blocks = build_normal_blocks(
             state.cam_params, state.pose_params, obs, mask, objpoints, opts,
-            cam_free, pose_free,
+            cam_free, pose_free, axis_name=axis_name,
         )
         grad_norm = jnp.sqrt(
             jnp.sum(
@@ -437,7 +571,8 @@ def lm_solve(
             cam, poses, cost_new, lam, tries, _, _ = t
             dcam, dpose = schur_solve(blocks, lam, axis_name, opts=opts)
             cam_try = state.cam_params + dcam
-            poses_try = state.pose_params + dpose
+            # Chunked solves return nc*ck >= F rows; drop frame padding.
+            poses_try = state.pose_params + dpose[: state.pose_params.shape[0]]
             cost_try = cost_fn(cam_try, poses_try)
             accepted = (cost_try < state.cost) & jnp.isfinite(cost_try)
             lam_next = jnp.where(accepted, lam, lam * opts.lambda_up)
@@ -488,8 +623,25 @@ def lm_solve(
         done = exhausted | (slow_steps >= opts.ftol_patience) | (
             grad_norm < opts.gtol
         )
+        step_sq = jnp.sum((cam_n - state.cam_params) ** 2)
+        pose_sq = jnp.sum((poses_n - state.pose_params) ** 2)
+        if axis_name is not None:
+            pose_sq = lax.psum(pose_sq, axis_name)
+        hist = state.hist.at[state.it].set(
+            jnp.stack(
+                [
+                    cost_n,
+                    grad_norm,
+                    jnp.sqrt(step_sq + pose_sq),
+                    lam_used,
+                    tries_used.astype(dtype),
+                    rel_drop,
+                ]
+            ).astype(dtype)
+        )
         return LMState(
-            cam_n, poses_n, lam_next, cost_n, state.it + 1, done, slow_steps
+            cam_n, poses_n, lam_next, cost_n, state.it + 1, done, slow_steps,
+            grad_norm, state.nfev + tries_used, hist,
         )
 
     def outer_cond(state: LMState):
@@ -507,6 +659,9 @@ def lm_solve(
         it=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool),
         slow_steps=jnp.zeros((), jnp.int32),
+        grad_norm=jnp.zeros((), dtype),
+        nfev=jnp.ones((), jnp.int32),  # the initial cost evaluation
+        hist=jnp.zeros((opts.max_iters, len(HIST_FIELDS)), dtype),
     )
     final = lax.while_loop(outer_cond, outer_body, init_state)
     info = {
@@ -515,5 +670,8 @@ def lm_solve(
         "n_iters": final.it,
         "lambda": final.lam,
         "converged": final.done,
+        "optimality": final.grad_norm,  # scipy OptimizeResult.optimality
+        "nfev": final.nfev,
+        "history": final.hist,  # (max_iters, 6), rows [:n_iters] valid
     }
     return final.cam_params, final.pose_params, info

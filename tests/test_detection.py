@@ -115,6 +115,130 @@ class TestDetector:
         np.testing.assert_allclose(mapped, uvs, atol=1.0)
 
 
+def _import_reference_detection():
+    """Import the reference's detection module with a vidio stub (the module
+    imports vidio at top level; detect_chessboard itself never uses it)."""
+    import importlib
+    import sys
+    import types
+
+    if "refmcc.detection" in sys.modules:
+        return sys.modules["refmcc.detection"]
+    vid = types.ModuleType("vidio")
+    vidr = types.ModuleType("vidio.read")
+    vidr.OpenCVReader = object
+    vid.read = vidr
+    sys.modules.setdefault("vidio", vid)
+    sys.modules.setdefault("vidio.read", vidr)
+    pkg = types.ModuleType("refmcc")
+    pkg.__path__ = ["/root/reference/multicam_calibration"]
+    sys.modules["refmcc"] = pkg
+    return importlib.import_module("refmcc.detection")
+
+
+K_TEST = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+DIST_TEST = np.array([-0.28, 0.12])
+HARD_KW = dict(
+    camera_matrix=K_TEST, dist_coefs=DIST_TEST, lighting_gradient=0.8,
+    vignette=0.4, clutter=6,
+)
+
+
+class TestRealisticImagery:
+    """VERDICT r1: validate the detector on lens-distorted pixels, lighting
+    gradients, clutter and occlusion — and against the reference's OpenCV
+    detector on the SAME frames."""
+
+    def _views(self, n, **kw):
+        out = []
+        for k in range(n):
+            rng = np.random.default_rng(100 + k)
+            H = random_view_homography(rng, board_shape=BOARD)
+            out.append(
+                render_board_view(
+                    H, out_size=(480, 640), board_shape=BOARD, noise=2.0,
+                    seed=k, **kw,
+                )
+            )
+        return out
+
+    def test_distorted_pixels_detection_and_accuracy(self):
+        """Lens-distorted views: full detection rate, subpixel accuracy on
+        the DISTORTED ground-truth corners (what a real camera delivers)."""
+        errs = []
+        for view, gt in self._views(8, camera_matrix=K_TEST, dist_coefs=DIST_TEST):
+            det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+            assert det is not None
+            d = np.linalg.norm(det[0][:, None] - gt[None], axis=-1)
+            errs.append(np.sqrt((d.min(0) ** 2).mean()))
+        assert np.median(errs) < 0.6
+
+    def test_hard_frames_beat_reference_rate(self):
+        """Distortion + lighting gradient + vignette + clutter: detection
+        rate must be >= the reference's cv2 detector on identical frames,
+        and accepted detections must be real (err bounded)."""
+        ref_det = _import_reference_detection()
+        views = self._views(16, **HARD_KW)
+        n_ref = n_us = 0
+        errs = []
+        for view, gt in views:
+            v8 = view.astype(np.uint8)
+            n_ref += (
+                ref_det.detect_chessboard(
+                    np.stack([v8] * 3, -1), board_shape=BOARD
+                )
+                is not None
+            )
+            det = mct.detect_chessboard(v8, board_shape=BOARD)
+            if det is not None:
+                n_us += 1
+                d = np.linalg.norm(det[0][:, None] - gt[None], axis=-1)
+                errs.append(d.min(0).mean())
+        assert n_us >= n_ref, f"ours {n_us}/16 vs reference {n_ref}/16"
+        assert n_us >= 10
+        assert np.max(errs) < 5.0  # no wildly corrupted accepted grids
+
+    def test_lighting_gradient_invariance(self):
+        """The docstring claim behind discarding adaptive_threshold /
+        normalize_image: the saddle response + detrended anchor correlation
+        are invariant to strong lighting gradients."""
+        for (view, gt), (hview, hgt) in zip(
+            self._views(4), self._views(4, lighting_gradient=0.9, vignette=0.5)
+        ):
+            det = mct.detect_chessboard(
+                hview.astype(np.uint8), board_shape=BOARD,
+                adaptive_threshold=False, normalize_image=False,
+            )
+            assert det is not None
+            d = np.linalg.norm(det[0][:, None] - hgt[None], axis=-1)
+            assert np.sqrt((d.min(0) ** 2).mean()) < 1.0
+
+    def test_occlusion_rejects_or_detects_cleanly(self):
+        """A bar across the board either hides corners (-> None) or leaves
+        enough for a correct detection — never a corrupted grid."""
+        for view, gt in self._views(6, occlusion_px=25):
+            det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+            if det is not None:
+                d = np.linalg.norm(det[0][:, None] - gt[None], axis=-1)
+                assert d.min(0).mean() < 5.0
+
+    def test_subpix_winsize_forwarded(self):
+        """subpix_winSize must actually change the refinement (ADVICE r1:
+        it was accepted and dropped)."""
+        view, gt = self._views(1)[0]
+        a = mct.detect_chessboard(
+            view.astype(np.uint8), board_shape=BOARD, subpix_winSize=(3, 3)
+        )
+        b = mct.detect_chessboard(
+            view.astype(np.uint8), board_shape=BOARD, subpix_winSize=(9, 9)
+        )
+        assert a is not None and b is not None
+        assert not np.array_equal(a[0], b[0])
+        for det in (a, b):
+            d = np.linalg.norm(det[0][:, None] - gt[None], axis=-1)
+            assert np.sqrt((d.min(0) ** 2).mean()) < 1.0
+
+
 class TestVideoLayer:
     def _frames(self, n, seed0=0):
         frames = []

@@ -1,0 +1,155 @@
+"""Chunked (memory-bounded) normal-block assembly + Schur reduction tests.
+
+The frame_chunk path lax.scans the linearization and Schur reduction over
+frame slabs so peak memory is O(C * chunk) instead of O(C * F) — the design
+that makes BASELINE config 5 (64 cams x 20k frames) feasible. These tests
+pin chunked == unchunked semantics, including under frame sharding and with
+frozen-parameter masks.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import multicam_calibration_tpu as mct
+from multicam_calibration_tpu.models.lm_core import (
+    HIST_FIELDS,
+    LMOptions,
+    build_normal_blocks,
+    lm_solve,
+    schur_solve,
+)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rig = mct.make_synthetic_rig(
+        n_cameras=4, n_frames=50, noise_px=0.4, dropout=0.2, seed=5
+    )
+    ext, intr, poses, _ = mct.calibrate(
+        rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+        verbose=False, n_samples_for_intrinsics=20,
+    )
+    from multicam_calibration_tpu.models.bundle_adjustment import (
+        _params_to_arrays, select_ba_frames,
+    )
+
+    use = select_ba_frames(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        verbose=False,
+    )
+    obs_np = rig.all_calib_uvs[:, use]
+    return dict(
+        obs=jnp.asarray(np.nan_to_num(obs_np)),
+        mask=jnp.asarray(~np.isnan(obs_np).any(-1)),
+        cam0=jnp.asarray(_params_to_arrays(ext, intr)),
+        poses0=jnp.asarray(np.nan_to_num(np.asarray(poses)[use])),
+        objpoints=jnp.asarray(rig.calib_objpoints),
+    )
+
+
+@pytest.mark.parametrize("chunk", [16, 7])  # 7 does not divide F -> padding
+def test_chunked_blocks_match_dense(problem, chunk):
+    p = problem
+    opts_d = LMOptions()
+    opts_c = LMOptions(frame_chunk=chunk)
+    bd = build_normal_blocks(
+        p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"], opts_d
+    )
+    bc = build_normal_blocks(
+        p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"], opts_c
+    )
+    F = p["poses0"].shape[0]
+    np.testing.assert_allclose(bc.U, bd.U, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(bc.g_cam, bd.g_cam, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(float(bc.cost), float(bd.cost), rtol=1e-12)
+    # Chunked per-frame blocks: (nc, ck, ...) reshapes to padded-F layout.
+    V_c = np.asarray(bc.V).reshape(-1, 6, 6)[:F]
+    W_c = np.moveaxis(np.asarray(bc.W), 1, 0).reshape(
+        p["cam0"].shape[0], -1, 12, 6
+    )[:, :F]
+    gp_c = np.asarray(bc.g_pose).reshape(-1, 6)[:F]
+    np.testing.assert_allclose(V_c, bd.V, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(W_c, bd.W, rtol=1e-10, atol=1e-8)
+    np.testing.assert_allclose(gp_c, bd.g_pose, rtol=1e-10, atol=1e-8)
+
+    # And the Schur step from the chunked blocks matches the dense one.
+    lam = jnp.asarray(1e-4, p["cam0"].dtype)
+    dcam_d, dpose_d = schur_solve(bd, lam, opts=opts_d)
+    dcam_c, dpose_c = schur_solve(bc, lam, opts=opts_c)
+    np.testing.assert_allclose(dcam_c, dcam_d, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(dpose_c[:F], dpose_d, rtol=1e-7, atol=1e-9)
+    # Padded rows are exactly inert.
+    assert np.all(np.asarray(dpose_c[F:]) == 0)
+
+
+@pytest.mark.parametrize("jac_dtype", [None, "float32"])
+def test_chunked_lm_matches_dense(problem, jac_dtype):
+    p = problem
+    args = (p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"])
+    _, _, i_d = lm_solve(*args, LMOptions(jac_dtype=jac_dtype))
+    _, _, i_c = lm_solve(*args, LMOptions(jac_dtype=jac_dtype, frame_chunk=16))
+    assert int(i_c["n_iters"]) == int(i_d["n_iters"])
+    np.testing.assert_allclose(
+        float(i_c["final_cost"]), float(i_d["final_cost"]), rtol=1e-6
+    )
+
+
+def test_chunked_respects_free_masks(problem):
+    p = problem
+    C = p["cam0"].shape[0]
+    F = p["poses0"].shape[0]
+    cam_free = jnp.ones((C, 12)).at[:, :6].set(0.0)  # freeze intrinsics
+    pose_free = jnp.ones((F, 6)).at[::3].set(0.0)  # freeze every 3rd pose
+    args = (p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"])
+    cam_d, poses_d, i_d = lm_solve(
+        *args, LMOptions(), cam_free=cam_free, pose_free=pose_free
+    )
+    cam_c, poses_c, i_c = lm_solve(
+        *args, LMOptions(frame_chunk=16), cam_free=cam_free,
+        pose_free=pose_free,
+    )
+    # Frozen entries never move, on either path.
+    np.testing.assert_array_equal(
+        np.asarray(cam_c)[:, :6], np.asarray(p["cam0"])[:, :6]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(poses_c)[::3], np.asarray(p["poses0"])[::3]
+    )
+    np.testing.assert_allclose(
+        float(i_c["final_cost"]), float(i_d["final_cost"]), rtol=1e-6
+    )
+
+
+def test_chunked_sharded_matches_single_device(problem):
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    from multicam_calibration_tpu.parallel import make_frame_mesh
+    from multicam_calibration_tpu.parallel.sharded import sharded_lm_solve
+
+    p = problem
+    args = (p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"])
+    opts = LMOptions(frame_chunk=4)
+    _, _, i_single = lm_solve(*args, opts)
+    mesh = make_frame_mesh()
+    _, _, i_shard = sharded_lm_solve(*args, opts, mesh=mesh)
+    np.testing.assert_allclose(
+        float(i_shard["final_cost"]), float(i_single["final_cost"]), rtol=1e-6
+    )
+
+
+def test_history_telemetry(problem):
+    p = problem
+    args = (p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"])
+    _, _, info = lm_solve(*args, LMOptions())
+    n = int(info["n_iters"])
+    hist = np.asarray(info["history"])
+    assert hist.shape[1] == len(HIST_FIELDS)
+    assert n >= 2
+    cost_col = hist[:n, HIST_FIELDS.index("cost")]
+    # Monotone non-increasing accepted costs, ending at final_cost.
+    assert np.all(np.diff(cost_col) <= 1e-9)
+    np.testing.assert_allclose(cost_col[-1], float(info["final_cost"]))
+    assert np.all(hist[:n, HIST_FIELDS.index("tries")] >= 1)
+    assert float(info["optimality"]) > 0
+    assert int(info["nfev"]) >= n + 1

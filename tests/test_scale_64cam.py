@@ -52,6 +52,33 @@ def test_64cam_sharded_matches_single_device(big_rig):
     assert float(info_m["final_cost"]) < float(info_m["initial_cost"])
 
 
+def test_64cam_chunked_sharded_runs_at_depth(big_rig):
+    """Config-5-shaped path: 64 cams, deep frame axis, frame_chunk bounding
+    memory, sharded over the 8-device mesh. Validates the chunked scan +
+    psum pipeline executes and descends at a frame count where the dense
+    path's (C, F, N, 2, 18) jacfwd transients would be prohibitive."""
+    rig = mct.make_synthetic_rig(
+        n_cameras=64, n_frames=768, noise_px=0.3, dropout=0.2, seed=9
+    )
+    full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
+    use = np.nonzero(full.sum(0) > 1)[0]
+    obs_np = rig.all_calib_uvs[:, use]
+    rng = np.random.default_rng(1)
+    ext = rig.all_extrinsics + rng.normal(0, 1e-3, rig.all_extrinsics.shape)
+    cam0 = jnp.asarray(_params_to_arrays(ext, rig.all_intrinsics))
+    poses0 = jnp.asarray(np.asarray(rig.calib_poses)[use])
+    mesh = make_frame_mesh()
+    # chunk=32 over ~96 local frames/device -> 3 scan slabs per device.
+    cam, poses, info = sharded_lm_solve(
+        cam0, poses0, jnp.asarray(np.nan_to_num(obs_np)),
+        jnp.asarray(~np.isnan(obs_np).any(-1)),
+        jnp.asarray(rig.calib_objpoints),
+        LMOptions(max_iters=3, frame_chunk=32), mesh=mesh,
+    )
+    assert poses.shape == (len(use), 6)
+    assert float(info["final_cost"]) < 0.5 * float(info["initial_cost"])
+
+
 def test_64cam_quality(big_rig):
     rig = big_rig
     full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
