@@ -48,7 +48,7 @@ def gather_detections(local_uvs, camera_indices, n_cameras, n_frames, n_points):
     out = np.full((n_cameras, n_frames, n_points, 2), np.nan)
     for row, cam in enumerate(camera_indices):
         out[cam] = local_uvs[row]
-    if jax.process_count() > 1:  # pragma: no cover - needs a real pod
+    if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         # Sum-reduce the NaN-disjoint per-host arrays: replace NaN with 0,
@@ -115,7 +115,7 @@ def distributed_calibration_detection(
         return run_calibration_detection(
             video_paths, detection_fun, detection_options, **kwargs
         )
-    # pragma: no cover - needs a real pod
+
     from jax.experimental import multihost_utils
 
     if jax.process_count() > len(video_paths):

@@ -406,38 +406,65 @@ def visualize_flatibration(
     return fig
 
 
-def plot_shared_detections(all_calib_uvs, spanning_tree, figsize=(9, 2)):
-    """Heatmap of shared detections per spanning-tree edge (viz.py:438-487)."""
+def plot_shared_detections(all_calib_uvs, spanning_tree, figsize=None):
+    """Temporal coverage QC per spanning-tree edge.
+
+    Answers the same question as the reference's shared-detection heatmap
+    (viz.py:438-487) — when does each edge of the camera tree see the board
+    in both of its cameras at once, and how much total support does each
+    pairwise transform have — rendered as an event raster (left, one row
+    per edge) with a per-edge coverage-count bar (right). Returns
+    (fig, shared_detections (n_edges, n_frames) bool).
+    """
     import matplotlib.pyplot as plt
 
     all_calib_uvs = np.asarray(all_calib_uvs)
+    has_det = ~np.isnan(all_calib_uvs).any((-1, -2))  # (C, F)
     shared_detections = np.array(
-        [
-            np.all(~np.isnan(all_calib_uvs[[c1, c2]]).any((-1, -2)), axis=0)
-            for c1, c2 in spanning_tree
-        ]
+        [has_det[c1] & has_det[c2] for c1, c2 in spanning_tree]
     )
-    fig, ax = plt.subplots(1, 1, figsize=figsize)
-    ax.imshow(
-        shared_detections, aspect="auto", cmap="binary", origin="lower",
-        interpolation="none",
+    n_edges, n_frames = shared_detections.shape
+    if figsize is None:
+        figsize = (10, 0.45 * n_edges + 1.4)
+    fig, (ax_raster, ax_bar) = plt.subplots(
+        1, 2, figsize=figsize, sharey=True,
+        gridspec_kw={"width_ratios": [4, 1]},
     )
-    ax.set_xlabel("frame")
-    ax.set_title("Shared detections")
-    ax.set_yticks(np.arange(len(spanning_tree)))
-    ax.set_yticklabels([f"(camera {c1}, camera {c2})" for c1, c2 in spanning_tree])
-    plt.tight_layout()
+    ax_raster.eventplot(
+        [np.nonzero(row)[0] for row in shared_detections],
+        lineoffsets=np.arange(n_edges), linelengths=0.8,
+        colors="tab:blue", linewidths=0.5,
+    )
+    ax_raster.set_xlim(0, max(n_frames - 1, 1))
+    ax_raster.set_xlabel("frame")
+    ax_raster.set_yticks(np.arange(n_edges))
+    ax_raster.set_yticklabels(
+        [f"cam {c1} - cam {c2}" for c1, c2 in spanning_tree]
+    )
+    ax_raster.set_title("shared detections over time")
+    counts = shared_detections.sum(1)
+    ax_bar.barh(np.arange(n_edges), counts, color="tab:blue", height=0.7)
+    for e, n in enumerate(counts):
+        ax_bar.annotate(
+            str(int(n)), (n, e), xytext=(3, 0), textcoords="offset points",
+            va="center", fontsize=8,
+        )
+    ax_bar.set_xlabel("frames")
+    ax_bar.set_title("coverage")
+    fig.tight_layout()
     return fig, shared_detections
 
 
-def plot_chessboard_qc_data(video_paths, figsize=(12, 6)):
-    """Anchor-match score QC figure (reference detection.py:521-583).
+def plot_chessboard_qc_data(video_paths, figsize=None, gap_threshold=0.2):
+    """Anchor-disambiguation QC per video.
 
-    Top row: per-frame heatmap of the four sorted anchor-match scores read
-    from each video's ``{video}.detections.h5`` cache. Bottom row: best vs
-    second-best scatter with diagonal guide lines at 0.1 offsets — the gap
-    between the two is what ``match_score_min_diff`` thresholds in
-    :func:`detect_chessboard`.
+    Same QC question as the reference's score heatmap/scatter figure
+    (detection.py:521-583): are the four anchor-match scores well separated
+    enough for the orientation decision to be trustworthy? Re-expressed as,
+    per video: (left) the four sorted scores traced over detected frames
+    with the best/second-best margin shaded, (right) the distribution of
+    that margin against the ``match_score_min_diff`` rejection threshold.
+    Scores come from each video's ``{video}.detections.h5`` cache.
     """
     import os
 
@@ -460,28 +487,41 @@ def plot_chessboard_qc_data(video_paths, figsize=(12, 6)):
                 )
             qc_datas.append(h5["qc_data"][:])
 
+    n_videos = len(qc_datas)
+    if figsize is None:
+        figsize = (10, 2.4 * n_videos)
     fig, axs = plt.subplots(
-        3,
-        len(qc_datas),
-        figsize=figsize,
-        gridspec_kw={"height_ratios": [1, 0.05, 0.4]},
-        squeeze=False,
+        n_videos, 2, figsize=figsize, squeeze=False,
+        gridspec_kw={"width_ratios": [2.5, 1]},
     )
-    for i, qc_data in enumerate(qc_datas):
-        cax = axs[0, i].imshow(qc_data, aspect="auto", interpolation="nearest")
-        axs[0, i].set_ylabel("Frame")
-        axs[0, i].set_xlabel("match score")
-        axs[0, i].set_title(os.path.basename(video_paths[i]), fontsize=10)
-        plt.colorbar(cax, cax=axs[1, i], orientation="horizontal")
+    rank_labels = ["best", "2nd", "3rd", "4th"]
+    for i, qc in enumerate(qc_datas):
+        ax = axs[i, 0]
+        frames = np.arange(len(qc))
+        ax.fill_between(
+            frames, qc[:, 1], qc[:, 0], color="tab:green", alpha=0.25,
+            label="decision margin",
+        )
+        for j in range(qc.shape[1]):
+            ax.plot(frames, qc[:, j], lw=0.7, label=rank_labels[j])
+        ax.set_ylabel("anchor score")
+        ax.set_title(os.path.basename(video_paths[i]), fontsize=10)
+        if i == 0:
+            ax.legend(fontsize=7, ncol=5, loc="lower right")
+        if i == n_videos - 1:
+            ax.set_xlabel("detected frame")
 
-        axs[2, i].scatter(qc_data[:, 0], qc_data[:, 1], s=1, linewidth=0)
-        axs[2, i].set_xlabel("best")
-        axs[2, i].set_ylabel("second-best")
-        axs[2, i].set_aspect("equal")
-        axs[2, i].axline((0, 0), slope=1, c="k")
-        axs[2, i].set_xlim([0, 1])
-        axs[2, i].set_ylim([0, 1])
-        for offset in np.arange(0.1, 1, 0.1):
-            axs[2, i].axline((offset, 0), slope=1, c="k", ls="--", lw=0.5)
-    plt.tight_layout()
+        axh = axs[i, 1]
+        gaps = qc[:, 0] - qc[:, 1]
+        axh.hist(gaps, bins=30, range=(0, 1), color="0.6")
+        axh.axvline(
+            gap_threshold, color="tab:red", ls="--", lw=1,
+            label="rejection threshold",
+        )
+        if i == 0:
+            axh.legend(fontsize=7)
+        if i == n_videos - 1:
+            axh.set_xlabel("best - 2nd margin")
+        axh.set_ylabel("frames")
+    fig.tight_layout()
     return fig
