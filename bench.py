@@ -56,15 +56,34 @@ def main():
             rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
             verbose=False, n_samples_for_intrinsics=50,
         )
-    # Same frame selection as the measured reference run (identical code
-    # path -> identical frames): >= 2-camera frames, default 5 x median
-    # outlier exclusion, no subsampling.
-    from multicam_calibration_tpu.models.bundle_adjustment import select_ba_frames
-
-    use_frames = select_ba_frames(
-        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
-        n_frames=None, verbose=False,
+    # The EXACT frame set the measured reference run solved
+    # (BASELINE_PROBLEM.npz, written by scripts/measure_reference_baseline.py
+    # from the reference's own in-solver selection) so the cost comparison is
+    # on the identical problem; fall back to our equivalent selection rules
+    # if the problem file is absent.
+    problem_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_PROBLEM.npz"
     )
+    use_frames = None
+    identical_problem = False
+    if os.path.exists(problem_path):
+        prob = np.load(problem_path)
+        if (
+            int(prob["n_cameras"]) == N_CAMERAS
+            and int(prob["n_frames"]) == N_FRAMES
+            and int(prob["seed"]) == SEED
+        ):
+            use_frames = prob["use_frames"]
+            identical_problem = True
+    if use_frames is None:
+        from multicam_calibration_tpu.models.bundle_adjustment import (
+            select_ba_frames,
+        )
+
+        use_frames = select_ba_frames(
+            rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+            n_frames=None, verbose=False,
+        )
     obs_np = rig.all_calib_uvs[:, use_frames]
     mask_np = ~np.isnan(obs_np).any(-1)
     cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=dtype)
@@ -75,11 +94,18 @@ def main():
     mask = jnp.asarray(mask_np)
     objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
 
-    # Reference-equivalent options (soft_l1, ftol=1e-4); jac_dtype keeps the
-    # 18-tangent Jacobians in f32 (measured: identical cost + iteration
-    # trajectory to pure f64 — the gradient path stays f64 — at 1.6x less
-    # wall on the emulated-f64 TPU).
-    opts = LMOptions(jac_dtype="float32")
+    # Reference-equivalent options (soft_l1, ftol=1e-4) in the TPU mixed
+    # recipe: f64 residual/gradient path (what anchors the optimum) with
+    # f32 Jacobians, J^T J blocks, Schur solve, and per-try cost
+    # projections (all emulation-dominated on TPU). Measured on the bench
+    # problem: same-or-deeper final cost than pure f64 (12330.851 vs
+    # 12330.859) at ~2.4x less wall.
+    opts = LMOptions(
+        jac_dtype="float32",
+        block_dtype="float32",
+        cost_dtype="float32",
+        solve_dtype="float32",
+    )
 
     # Warm-up (compile) ...
     out = lm_solve(cam0, poses0, obs, mask, objp, opts)
@@ -127,6 +153,42 @@ def main():
 
     final_cost = float(_jit_cost(cam, poses_adj, obs, mask, objp, opts))
 
+    # Speed-of-light accounting: analytic FLOP model for the measured run
+    # (utils/flops.py), achieved FLOP/s, and the roofline fraction = (time a
+    # perfect machine would need for the same FLOPs, with f64 emulation
+    # charged at ~peak_f32/10) / measured wall.
+    from multicam_calibration_tpu.utils.flops import (
+        device_peak_flops,
+        lm_flop_model,
+    )
+
+    nfev = int(info["nfev"])
+    fm = lm_flop_model(N_CAMERAS, len(use_frames), 35, n_iters, nfev)
+    total_flops = fm["jac_flops"] + fm["data_flops"]
+    # Bucket by the dtype each component runs in under `opts` (the mixed
+    # recipe runs jac + assembly + schur + cost in f32; the f64 remainder
+    # is the primal projection + gradient path).
+    f32_flops = (
+        fm["jac_flops"] + fm["assembly_flops"] + fm["schur_flops"]
+        + fm["cost_flops"]
+    )
+    f64_flops = total_flops - f32_flops
+    device_kind = jax.devices()[0].device_kind
+    flops_detail = {
+        "model_tflops": round(total_flops / 1e12, 4),
+        "achieved_tflops_per_s": round(total_flops / wall / 1e12, 4),
+        "f32_fraction": round(f32_flops / total_flops, 3),
+        "obs_iters_per_s_M": round(
+            int(mask_np.sum()) * n_iters / wall / 1e6, 3
+        ),
+        "device_kind": device_kind,
+        "nfev": nfev,
+    }
+    peaks = device_peak_flops(device_kind)
+    if peaks:
+        t_roofline = f32_flops / peaks[0] + f64_flops / peaks[1]
+        flops_detail["roofline_fraction"] = round(t_roofline / wall, 4)
+
     vs_baseline = 0.0
     quality_ok = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -137,11 +199,19 @@ def main():
             if c["n_cameras"] == N_CAMERAS and c["n_frames_requested"] == N_FRAMES
         ]
         if match:
-            # End-to-end wall-clock speedup at matched convergence quality:
-            # only claim the speedup if our robust cost is within 5% of the
-            # reference solver's converged cost on the identical problem.
+            # End-to-end wall-clock speedup at matched-or-better convergence
+            # quality. On the identical problem (same frames, same x0 — the
+            # BASELINE_PROBLEM path) the gate is strict: our converged cost
+            # must be <= the reference solver's. Our LM runs the gradient to
+            # ~0 where scipy stops on ftol in the soft-L1 valley, so "beat"
+            # here is real, not tolerance slack. Without the problem file the
+            # frame sets can differ by threshold flips and costs are not
+            # directly comparable — fall back to the 5% proportional gate.
             ref = match[-1]
-            quality_ok = bool(final_cost <= ref["cost"] * 1.05)
+            if identical_problem:
+                quality_ok = bool(final_cost <= ref["cost"])
+            else:
+                quality_ok = bool(final_cost <= ref["cost"] * 1.05)
             vs_baseline = ref["wall_s"] / wall if quality_ok else 0.0
 
     print(
@@ -158,7 +228,10 @@ def main():
                     "final_cost": round(final_cost, 2),
                     "final_rmse_px": round(rmse, 4),
                     "quality_vs_ref_ok": quality_ok,
+                    "identical_problem_to_ref": identical_problem,
+                    "n_frames_used": int(len(use_frames)),
                     "platform": jax.default_backend(),
+                    "flops": flops_detail,
                 },
             }
         )

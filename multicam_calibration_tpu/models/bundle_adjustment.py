@@ -439,12 +439,25 @@ def bundle_adjust(
     # f64 residuals/gradients to reach the reference's cost basin reliably —
     # pure f32 stalls at compile-dependent shelves of the soft-L1 valley.
     # With x64 available we run f64 data + f32 Jacobians (measured identical
-    # optimum to pure f64 at ~1.6x less wall on TPU's emulated f64).
+    # optimum to pure f64). On TPU (f64 is emulated at ~10-20x f32 cost) the
+    # J^T J blocks, Schur solve, and per-try cost projections also run f32:
+    # measured same-or-deeper final cost (12330.851 vs 12330.859 on the
+    # bench problem) at ~2.4x less wall — only the residual/gradient path
+    # keeps f64, which is what anchors the optimum. On CPU f64 is native
+    # and the all-f64 (+f32 jac) path is faster in wall-clock, so the f32
+    # extras stay off there.
     default_jac_dtype = None
+    default_f32 = {}
     if dtype is None:
         if _jax.config.jax_enable_x64:
             dtype = jnp.float64
             default_jac_dtype = "float32"
+            if jnp.zeros(0).devices().pop().platform != "cpu":
+                default_f32 = dict(
+                    block_dtype="float32",
+                    cost_dtype="float32",
+                    solve_dtype="float32",
+                )
         else:
             dtype = jnp.zeros(0).dtype  # backend default (f32)
             import warnings
@@ -468,7 +481,13 @@ def bundle_adjust(
         f_scale=opt_kwargs.get("f_scale", 1.0),
         max_iters=opt_kwargs.get("max_iters", 100),
         jac_dtype=opt_kwargs.get("jac_dtype", default_jac_dtype),
-        solve_dtype=opt_kwargs.get("solve_dtype", None),
+        block_dtype=opt_kwargs.get(
+            "block_dtype", default_f32.get("block_dtype")
+        ),
+        cost_dtype=opt_kwargs.get("cost_dtype", default_f32.get("cost_dtype")),
+        solve_dtype=opt_kwargs.get(
+            "solve_dtype", default_f32.get("solve_dtype")
+        ),
         frame_chunk=opt_kwargs.get("frame_chunk", None),
     )
 

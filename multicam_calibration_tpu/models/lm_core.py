@@ -92,6 +92,22 @@ class LMOptions:
     # tolerate f32: measured identical final cost and iteration count to
     # pure f64 at ~1.6x less wall on TPU (f64 there is emulated).
     jac_dtype: str | None = None
+    # Precision for the J^T J block einsums (U/V/W) only; results are cast
+    # back to the data dtype. The gradient einsums (J^T r) and the residual
+    # stay in the data dtype — they are the precision-critical path (obs-pred
+    # cancels ~4 digits). On TPU, f64 is emulated at ~10-20x f32 cost and
+    # the U/V/W einsums are the largest emulated term of the iteration, so
+    # block_dtype="float32" under f64 data removes most of it while changing
+    # U/V/W entries only at f32 rounding (~1e-7 relative) — the approximate
+    # Hessian, like jac_dtype, tolerates that.
+    block_dtype: str | None = None
+    # Precision for the per-damping-try cost evaluation's projection. The
+    # residual is formed in this dtype then accumulated in the data dtype:
+    # at 0.3 px residuals on ~300 px coordinates, f32 rounding perturbs the
+    # total cost by ~1e-2 absolute (~1e-6 relative), far below the ftol
+    # acceptance granularity (~1e-4 relative). Cuts the emulated-f64
+    # forward projections (one per damping try) to f32.
+    cost_dtype: str | None = None
     # Frames per linearization chunk. None materializes all (C, F) Jacobian
     # blocks in one shot (fastest for small problems). An int bounds peak
     # memory at O(C * frame_chunk * N * 36) transients by lax.scan-ning the
@@ -183,9 +199,28 @@ def _robust_cost(r2_masked, opts: LMOptions, axis=None):
     return 0.5 * fs2 * jnp.sum(2.0 * (jnp.sqrt(1.0 + z) - 1.0), axis=axis)
 
 
+@with_highest_precision
 def compute_cost(cam_params, pose_params, obs, mask, objpoints, opts, axis_name=None):
-    """Robust cost over (optionally frame-sharded) observations."""
-    r = compute_residuals(cam_params, pose_params, obs, mask, objpoints)
+    """Robust cost over (optionally frame-sharded) observations.
+
+    With ``opts.cost_dtype`` set, the forward projection and residual run in
+    that dtype and only the reduction runs in the data dtype (see LMOptions).
+    Carries its own fp32-matmul-precision context: a caller jitting this
+    standalone (outside lm_solve's context) must not silently get bf16
+    MXU projections — that inflates the f32-projected cost ~12x.
+    """
+    dtype = cam_params.dtype
+    cd = jnp.dtype(opts.cost_dtype) if opts.cost_dtype else None
+    if cd is not None and cd != dtype:
+        r = compute_residuals(
+            cam_params.astype(cd),
+            pose_params.astype(cd),
+            obs.astype(cd),
+            mask,
+            objpoints.astype(cd),
+        ).astype(dtype)
+    else:
+        r = compute_residuals(cam_params, pose_params, obs, mask, objpoints)
     r2 = jnp.where(mask[..., None], r**2, 0.0)
     cost = _robust_cost(r2, opts)
     if axis_name is not None:
@@ -249,9 +284,14 @@ def build_normal_blocks(
         A = jnp.where(m[..., None], A * w[..., None], 0.0)  # (N, 2, 12)
         B = jnp.where(m[..., None], B * w[..., None], 0.0)  # (N, 2, 6)
         rw = r * w
-        U_cf = jnp.einsum("nki,nkj->ij", A, A)
-        V_cf = jnp.einsum("nki,nkj->ij", B, B)
-        W_cf = jnp.einsum("nki,nkj->ij", A, B)
+        # U/V/W in block_dtype (cast back): the approximate-Hessian blocks
+        # tolerate f32 rounding; the gradient einsums below do not and stay
+        # in the data dtype (see LMOptions.block_dtype).
+        bd = jnp.dtype(opts.block_dtype) if opts.block_dtype else A.dtype
+        Ab, Bb = A.astype(bd), B.astype(bd)
+        U_cf = jnp.einsum("nki,nkj->ij", Ab, Ab).astype(A.dtype)
+        V_cf = jnp.einsum("nki,nkj->ij", Bb, Bb).astype(A.dtype)
+        W_cf = jnp.einsum("nki,nkj->ij", Ab, Bb).astype(A.dtype)
         g_cam_cf = jnp.einsum("nki,nk->i", A, rw)
         g_pose_cf = jnp.einsum("nki,nk->i", B, rw)
         cost_cf = _robust_cost(jnp.where(mask_cf[..., None], r**2, 0.0), opts)

@@ -101,8 +101,12 @@ def main():
         obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
         mask = jnp.asarray(mask_np)
         objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
-        opts = LMOptions(  # bench.py's validated recipe (+ memory bound)
-            jac_dtype="float32", frame_chunk=cfg.get("frame_chunk")
+        opts = LMOptions(  # bench.py's validated TPU mixed recipe (+ bound)
+            jac_dtype="float32",
+            block_dtype="float32",
+            cost_dtype="float32",
+            solve_dtype="float32",
+            frame_chunk=cfg.get("frame_chunk"),
         )
 
         out = lm_solve(cam0, poses0, obs, mask, objp, opts)  # compile

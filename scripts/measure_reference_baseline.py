@@ -54,6 +54,22 @@ def run_case(n_cameras, n_frames, noise_px=0.3, dropout=0.25, seed=11):
     wall = time.time() - t0
     result = out[4]
     adj_ext, adj_intr, adj_poses, use_frames = out[0], out[1], out[2], out[3]
+    # Freeze the exact problem the reference solved (frame subset) so
+    # bench.py can run the SAME problem and compare costs directly
+    # (round-1 verdict: a 922-vs-909 frame-selection drift made the costs
+    # incomparable at the 1.4% level).
+    np.savez(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BASELINE_PROBLEM.npz",
+        ),
+        use_frames=np.asarray(use_frames),
+        n_cameras=n_cameras,
+        n_frames=n_frames,
+        seed=seed,
+        ref_cost=float(result.cost),
+        ref_optimality=float(result.optimality),
+    )
     pred = np.asarray(
         mct.predict_calib_uvs(adj_ext, adj_intr, rig.calib_objpoints, adj_poses)
     )
