@@ -3,6 +3,7 @@ from .board import generate_chessboard_objpoints
 from .detector import (
     detect_chessboard,
     detect_chessboard_batch,
+    detect_chessboard_batches,
     extend_grid,
     reorder_chessboard_corners,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "generate_chessboard_objpoints",
     "detect_chessboard",
     "detect_chessboard_batch",
+    "detect_chessboard_batches",
     "extend_grid",
     "reorder_chessboard_corners",
     "process_video",

@@ -40,6 +40,7 @@ __all__ = [
     "reorder_chessboard_corners",
     "detect_chessboard",
     "detect_chessboard_batch",
+    "detect_chessboard_batches",
 ]
 
 
@@ -267,29 +268,37 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
     # Deduplicate: subpixel refinement can collapse two distinct NMS peaks
     # onto the same corner (observed sub-px pairs on cluttered frames); a
     # near-duplicate as a seed neighbor yields a garbage lattice direction.
-    # Greedy keep-strongest within a 3 px radius.
+    # Greedy keep-strongest within a 3 px radius, vectorized: walk points in
+    # score order and mask out everything a kept point suppresses (the
+    # per-pair Python genexpr here was the hottest line of the host stage).
     order_sc = np.argsort(-sc)
-    kept_ixs = []
-    for j in order_sc:
-        p = pts[j]
-        if all(np.sum((pts[i] - p) ** 2) > 9.0 for i in kept_ixs):
-            kept_ixs.append(j)
-    pts = pts[kept_ixs]
-    sc = sc[kept_ixs]
+    P = pts[order_sc]
+    d2s = np.sum((P[:, None] - P[None, :]) ** 2, axis=-1)
+    n = len(P)
+    alive = np.ones(n, bool)
+    later = np.arange(n)
+    for a in range(n):
+        if alive[a]:
+            alive[(d2s[a] <= 9.0) & (later > a)] = False
+    pts = P[alive]
+    sc = sc[order_sc][alive]
     if len(pts) < n_needed:
         return None
 
     # Pairwise distances; lattice pitch ~ median nearest-neighbor distance.
-    d2 = np.sum((pts[:, None] - pts[None, :]) ** 2, axis=-1)
+    d2 = d2s[np.ix_(alive, alive)]
     np.fill_diagonal(d2, np.inf)
-    nn_dist = np.sqrt(d2.min(axis=1))
-    pitch = np.median(nn_dist)
+    pitch = np.median(np.sqrt(d2.min(axis=1)))
 
-    def nearest(target, used, tol):
-        dd = np.sqrt(np.sum((pts - target) ** 2, axis=-1))
-        dd[list(used)] = np.inf
+    used_mask = np.zeros(len(pts), bool)
+
+    def nearest(target, tol):
+        """Nearest unused candidate to ``target`` within ``tol`` (squared
+        comparisons; ``used_mask`` maintained by the growth loop)."""
+        dd = np.sum((pts - target) ** 2, axis=-1)
+        dd[used_mask] = np.inf
         j = int(np.argmin(dd))
-        return (j, dd[j]) if dd[j] < tol else (None, None)
+        return (j, dd[j]) if dd[j] < tol * tol else (None, None)
 
     # Seed candidates: closest to the cloud centroid first (likely interior
     # vertices); clutter can still land there, so retry growth from the next
@@ -313,11 +322,13 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
             return None
 
         grid = {(0, 0): seed, (1, 0): order[0]}
-        j2, _ = nearest(pts[seed] + v2, {seed, order[0]}, pitch_tol * pitch * 2)
+        used_mask[:] = False
+        used_mask[seed] = used_mask[order[0]] = True
+        j2, _ = nearest(pts[seed] + v2, pitch_tol * pitch * 2)
         if j2 is None:
             return None
         grid[(0, 1)] = j2
-        used = set(grid.values())
+        used_mask[j2] = True
 
         # BFS growth: predict each new vertex by linear extrapolation from
         # two collinear predecessors (local step adapts to perspective and,
@@ -346,10 +357,10 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
                                 break
                         if pred is None:
                             continue
-                    cand, _ = nearest(pred, used, pitch_tol * pitch)
+                    cand, _ = nearest(pred, pitch_tol * pitch)
                     if cand is not None:
                         grid[tgt] = cand
-                        used.add(cand)
+                        used_mask[cand] = True
                         new_frontier.append(tgt)
             frontier = new_frontier
         return grid if len(grid) >= n_needed else None
@@ -732,11 +743,33 @@ def detect_chessboard_batch(
     B = len(images)
     if B == 0:
         return {}
+    stage1 = _batch_dispatch(images, max_candidates, nms_radius, win_size)
+    return _batch_finish(
+        stage1, B, board_shape, reorder, match_score_min_diff, template_size
+    )
+
+
+def _batch_dispatch(images, max_candidates, nms_radius, win_size):
+    """Dispatch device stage 1 (gray + fused response/NMS + subpixel) for a
+    batch; returns DEVICE arrays (gray, refined, score) without blocking —
+    JAX async dispatch lets the device/transfer work proceed while the host
+    orders the previous batch (see detect_chessboard_batches)."""
     frames = np.stack([np.asarray(im) for im in images])
     gray = _gray_from_u8(jnp.asarray(frames))
-    _, refined, score = _find_and_refine(gray, max_candidates, nms_radius, win_size)
-    refined = np.asarray(refined)
-    score = np.asarray(score)
+    _, refined, score = _find_and_refine(
+        gray, max_candidates, nms_radius, win_size
+    )
+    return gray, refined, score
+
+
+def _batch_finish(
+    stage1, B, board_shape, reorder, match_score_min_diff, template_size
+):
+    """Host half of the batch pipeline: lattice ordering per frame, then the
+    batched anchor-score device stage and the orientation decisions."""
+    gray, refined_d, score_d = stage1
+    refined = np.asarray(refined_d)
+    score = np.asarray(score_d)
 
     cols, rows = board_shape[1], board_shape[0]
     # Invalid slots get a benign canonical grid so the batched homography
@@ -774,3 +807,75 @@ def detect_chessboard_batch(
             continue
         out[int(i)] = (g.reshape(-1, 2), ss)
     return out
+
+
+def detect_chessboard_batches(
+    batches,
+    *,
+    board_shape=(7, 10),
+    reorder=True,
+    match_score_min_diff=0.2,
+    max_candidates=160,
+    nms_radius=4,
+    template_size=40,
+    scale_factor=1,
+    subpix_winSize=(5, 5),
+    adaptive_threshold=True,
+    normalize_image=True,
+    **unsupported,
+):
+    """Double-buffered batch detection over an iterable of frame batches.
+
+    Yields one ``{batch_local_index: detection}`` dict per input batch, in
+    order, with ONE-BATCH LOOKAHEAD: the device stage for batch k+1 is
+    dispatched before batch k's host lattice ordering runs, so host work
+    overlaps the accelerator's compute and (on remote devices) transfers.
+    This is the streaming shape of ``detect_chessboard_batch`` — same
+    options, same per-batch results.
+    """
+    del adaptive_threshold, normalize_image  # parity args; response invariant
+    if unsupported or scale_factor != 1:
+        # Options that need the per-frame path: no pipelining to exploit.
+        for images in batches:
+            yield detect_chessboard_batch(
+                images,
+                board_shape=board_shape,
+                reorder=reorder,
+                match_score_min_diff=match_score_min_diff,
+                max_candidates=max_candidates,
+                nms_radius=nms_radius,
+                template_size=template_size,
+                scale_factor=scale_factor,
+                subpix_winSize=subpix_winSize,
+                **unsupported,
+            )
+        return
+    win_size = _subpix_win(subpix_winSize)
+
+    prev = None  # (stage1 device arrays, batch size)
+    for images in batches:
+        cur = None
+        if len(images):
+            cur = (
+                _batch_dispatch(images, max_candidates, nms_radius, win_size),
+                len(images),
+            )
+        if prev is not None:
+            yield _batch_finish(
+                prev[0], prev[1], board_shape, reorder, match_score_min_diff,
+                template_size,
+            )
+        elif cur is None:
+            yield {}
+            continue
+        else:
+            prev = cur
+            continue
+        prev = cur
+        if cur is None:
+            yield {}
+    if prev is not None:
+        yield _batch_finish(
+            prev[0], prev[1], board_shape, reorder, match_score_min_diff,
+            template_size,
+        )

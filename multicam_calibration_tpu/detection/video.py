@@ -138,13 +138,28 @@ def process_video(
     detections = {}
     try:
         if batched:
+            from .detector import detect_chessboard_batches
+
             use = np.asarray(use_frames, int)
-            for lo in range(0, len(use), batch_size):
-                chunk = use[lo : lo + batch_size]
-                imgs = [get(int(ix)) for ix in chunk]
-                while len(imgs) < batch_size:  # pad tail: constant jit shape
-                    imgs.append(imgs[-1])
-                found = detect_chessboard_batch(imgs, **detection_options)
+            chunks = [
+                use[lo : lo + batch_size]
+                for lo in range(0, len(use), batch_size)
+            ]
+
+            def _batches():
+                for chunk in chunks:
+                    imgs = [get(int(ix)) for ix in chunk]
+                    while len(imgs) < batch_size:  # pad tail: constant shape
+                        imgs.append(imgs[-1])
+                    yield imgs
+
+            # Double-buffered: the generator dispatches batch k+1's device
+            # stage (and decodes its frames) before batch k's host lattice
+            # ordering runs — decode + transfer + device compute overlap the
+            # host work.
+            for chunk, found in zip(
+                chunks, detect_chessboard_batches(_batches(), **detection_options)
+            ):
                 for j, det in found.items():
                     if j < len(chunk):
                         detections[int(chunk[j])] = det

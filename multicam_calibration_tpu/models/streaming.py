@@ -25,9 +25,19 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from .bundle_adjustment import _arrays_to_params, _params_to_arrays
-from .initialize import consensus_calib_poses, estimate_pose
+from .initialize import _estimate_pose_impl, consensus_calib_poses
 from .lm_core import LMOptions, lm_solve
+
+# Pose init for all cameras in ONE dispatch: vmap _estimate_pose_impl over
+# the camera axis (per-camera intrinsics stacked). The per-camera Python
+# loop cost C separate device dispatches per update — 64 round trips per
+# update on a remote TPU backend.
+_batched_estimate_pose = jax.jit(
+    jax.vmap(_estimate_pose_impl, in_axes=(0, 0, 0, None))
+)
 
 __all__ = ["RollingCalibrator"]
 
@@ -144,12 +154,15 @@ class RollingCalibrator:
         if C != self.n_cameras:
             raise ValueError(f"expected {self.n_cameras} cameras, got {C}")
 
-        # 1. pose init for the incoming frames at current cameras.
-        per_cam = np.stack(
-            [
-                np.asarray(estimate_pose(batch_uvs[c], self.objpoints, *self._intr[c]))
-                for c in range(C)
-            ]
+        # 1. pose init for the incoming frames at current cameras (one
+        # batched dispatch across all cameras).
+        Ks = np.stack([K for K, _ in self._intr])
+        ds = np.stack([d for _, d in self._intr])
+        per_cam = np.asarray(
+            _batched_estimate_pose(
+                jnp.asarray(batch_uvs), jnp.asarray(Ks), jnp.asarray(ds),
+                jnp.asarray(self.objpoints),
+            )
         )
         poses_new = np.asarray(consensus_calib_poses(per_cam, self._ext))
         ok = ~np.isnan(poses_new).any(-1)

@@ -1,0 +1,102 @@
+"""Stage-level timing of detect_chessboard_batch (r2 detection work).
+
+Splits one batch into: device stage 1 (gray + fused response/NMS + subpix),
+host lattice ordering (order_grid_points per frame), device stage 2
+(batched anchor scores) + host flips. Identifies whether the pipeline is
+transfer-, device-, or host-bound before optimizing.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 32
+BOARD = (5, 7)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multicam_calibration_tpu.detection.detector import (
+        _batched_anchor_scores,
+        _find_and_refine,
+        _gray_from_u8,
+        order_grid_points,
+    )
+    from multicam_calibration_tpu.detection.synthetic_images import (
+        random_view_homography,
+        render_board_view,
+    )
+
+    frames = []
+    for k in range(BATCH):
+        rng = np.random.default_rng(k)
+        H = random_view_homography(rng, board_shape=BOARD)
+        view, _ = render_board_view(
+            H, out_size=(480, 640), board_shape=BOARD, noise=1.5, seed=k
+        )
+        frames.append(np.asarray(view).astype(np.uint8))
+    stack = np.stack(frames)
+
+    def timed(label, fn, reps=5):
+        fn()  # warm
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        w = float(np.median(walls))
+        print(f"{label:34s} {w*1e3:8.1f} ms  ({BATCH/w:7.1f} fps)", flush=True)
+        return w
+
+    # Transfer: host -> device of the frame stack alone.
+    dev = jax.devices()[0]
+
+    def xfer():
+        a = jax.device_put(stack, dev)
+        a.block_until_ready()
+        np.asarray(a[0, 0, 0])  # force through the tunnel
+
+    t_x = timed("h2d transfer (9.8 MB)", xfer)
+
+    gray = _gray_from_u8(jnp.asarray(stack))
+    np.asarray(gray[0, 0, 0])
+
+    def stage1():
+        g = _gray_from_u8(jnp.asarray(stack))
+        _, refined, score = _find_and_refine(g, 160, 4, 5)
+        return np.asarray(refined), np.asarray(score)
+
+    t1 = timed("device: gray+response+NMS+subpix", stage1)
+    refined, score = stage1()
+
+    def host_order():
+        out = []
+        for i in range(BATCH):
+            out.append(order_grid_points(refined[i], score[i], BOARD))
+        return out
+
+    t2 = timed("host: order_grid_points x32", host_order)
+    grids_l = host_order()
+
+    cols, rows = BOARD[1], BOARD[0]
+    grids = np.stack([np.asarray(g).reshape(cols, rows, 2) for g in grids_l])
+
+    def stage2():
+        s = _batched_anchor_scores(gray, jnp.asarray(grids, gray.dtype), 40)
+        return np.asarray(s)
+
+    t3 = timed("device: batched anchor scores", stage2)
+    total = t1 + t2 + t3
+    print(
+        f"sum {total*1e3:.1f} ms -> {BATCH/total:.1f} fps "
+        f"(device1 {t1/total:.0%}, host {t2/total:.0%}, device2 {t3/total:.0%})"
+    )
+
+
+if __name__ == "__main__":
+    main()
