@@ -160,76 +160,115 @@ def find_corner_candidates(
 # ---------------------------------------------------------------------------
 
 
-def refine_corners_subpix(gray, corners, win_size=5, n_iters=8):
+def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
     """Gradient-orthogonality subpixel refinement, batched over corners.
 
     Implements the cornerSubPix criterion (detection.py:390-392 delegate):
     at the true corner q, every image gradient g_p in the window satisfies
     g_p . (p - q) = 0, giving the fixed point q = (sum g g^T)^-1 sum (g g^T p)
     over the window (Gaussian-weighted). ``corners``: (B, K, 2) in (x, y).
+
+    TPU-shaped sampling: per-point bilinear gathers from the full image are
+    pathological on TPU (B*K*window*4 random fetches per iteration — this
+    stage alone was 800 ms of a 1.2 s batch). Instead each corner's gradient
+    neighborhood is sliced out ONCE (a single block gather), and every
+    iteration's window resampling uses the fact that all window points share
+    one fractional offset: bilinear at the whole window == the weighted sum
+    of 4 INTEGER-shifted views of one small dynamic slice of the patch. The
+    inner loop is elementwise math on (B, K, size+1, size+1) tensors — no
+    gathers. ``max_drift`` bounds total movement from the seed (true corners
+    converge within ~1 px; anything drifting further is clutter).
     """
     B, H, W = gray.shape
     dtype = gray.dtype
     r = win_size
     size = 2 * r + 1
+    D = int(np.ceil(max_drift))
+    R = r + D + 1  # patch half-extent: window + drift + bilinear support
+    S = 2 * R + 1
 
-    # Precompute gradient images once per frame. Central differences as
-    # pad+shift arithmetic: XLA fuses these into one elementwise pass,
-    # whereas 1-channel conv_general_dilated lowers catastrophically on TPU
-    # (~0.1 Gpix/s measured). Matches conv with SAME zero padding exactly.
+    # Gradient images once per frame. Central differences as pad+shift
+    # arithmetic: XLA fuses these into one elementwise pass, whereas
+    # 1-channel conv_general_dilated lowers catastrophically on TPU.
     padded = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)))
     gx = 0.5 * (padded[:, 1:-1, 2:] - padded[:, 1:-1, :-2])
     gy = 0.5 * (padded[:, 2:, 1:-1] - padded[:, :-2, 1:-1])
 
     offs = jnp.arange(-r, r + 1, dtype=dtype)
-    wy, wx = jnp.meshgrid(offs, offs, indexing="ij")
+    wy_g, wx_g = jnp.meshgrid(offs, offs, indexing="ij")
     # cornerSubPix weight: Gaussian-ish taper over the window.
-    wgt = jnp.exp(-(wx**2 + wy**2) / (2.0 * (0.5 * r + 0.5) ** 2))
+    wgt = jnp.exp(-(wx_g**2 + wy_g**2) / (2.0 * (0.5 * r + 0.5) ** 2))
 
-    def bilinear(im, x, y):
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        fx = x - x0
-        fy = y - y0
-        x0 = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
-        y0 = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
-        v00 = im[y0, x0]
-        v01 = im[y0, x0 + 1]
-        v10 = im[y0 + 1, x0]
-        v11 = im[y0 + 1, x0 + 1]
-        return (
-            v00 * (1 - fy) * (1 - fx)
-            + v01 * (1 - fy) * fx
-            + v10 * fy * (1 - fx)
-            + v11 * fy * fx
-        )
+    # One patch per corner (block gather, once). Origins clamp so the patch
+    # stays in-image; candidate margins normally keep the clamp inactive.
+    ox = jnp.clip(jnp.round(corners[..., 0]).astype(jnp.int32) - R, 0, W - S)
+    oy = jnp.clip(jnp.round(corners[..., 1]).astype(jnp.int32) - R, 0, H - S)
 
-    def refine_one(gx_f, gy_f, q0):
+    def patch(img, y0, x0):
+        return lax.dynamic_slice(img, (y0, x0), (S, S))
+
+    take = jax.vmap(  # over batch
+        jax.vmap(patch, in_axes=(None, 0, 0))  # over corners
+    )
+    px_p = take(gx, oy, ox)  # (B, K, S, S)
+    py_p = take(gy, oy, ox)
+    origin = jnp.stack([ox, oy], axis=-1).astype(dtype)  # (B, K, 2)
+    q0 = corners - origin  # patch coordinates (nominally (R, R))
+
+    def refine_one(gpx, gpy, q_init):
+        center = jnp.asarray([R, R], dtype)
+
         def step(_, q):
-            px = q[0] + wx  # (size, size) sample positions around q
-            py = q[1] + wy
-            gxs = bilinear(gx_f, px, py)
-            gys = bilinear(gy_f, px, py)
+            qx, qy = q[0], q[1]
+            bx = jnp.clip(jnp.floor(qx).astype(jnp.int32) - r, 0, S - size - 1)
+            by = jnp.clip(jnp.floor(qy).astype(jnp.int32) - r, 0, S - size - 1)
+            fx = qx - (bx + r).astype(dtype)
+            fy = qy - (by + r).astype(dtype)
+
+            # Window extraction as one-hot selection matmuls (E_y P E_x^T):
+            # under vmap this is a batched (12,S)@(S,S)@(S,12) einsum on the
+            # MXU — a traced dynamic_slice here lowers to a gather per
+            # iteration, which measures ~2x slower end-to-end.
+            rows = jnp.arange(S, dtype=jnp.int32)
+            sel = jnp.arange(size + 1, dtype=jnp.int32)
+            Ey = (rows[None, :] == (by + sel)[:, None]).astype(dtype)
+            Ex = (rows[None, :] == (bx + sel)[:, None]).astype(dtype)
+
+            def window(p):
+                w4 = Ey @ p @ Ex.T  # (size+1, size+1)
+                return (
+                    (1 - fy) * (1 - fx) * w4[:-1, :-1]
+                    + (1 - fy) * fx * w4[:-1, 1:]
+                    + fy * (1 - fx) * w4[1:, :-1]
+                    + fy * fx * w4[1:, 1:]
+                )
+
+            gxs = window(gpx)
+            gys = window(gpy)
+            px = qx + wx_g  # sample positions (patch coords)
+            py = qy + wy_g
             a = jnp.sum(wgt * gxs * gxs)
             b = jnp.sum(wgt * gxs * gys)
             c = jnp.sum(wgt * gys * gys)
-            bx = jnp.sum(wgt * (gxs * gxs * px + gxs * gys * py))
-            by = jnp.sum(wgt * (gxs * gys * px + gys * gys * py))
+            bx_r = jnp.sum(wgt * (gxs * gxs * px + gxs * gys * py))
+            by_r = jnp.sum(wgt * (gxs * gys * px + gys * gys * py))
             det = a * c - b * b
             safe = jnp.abs(det) > 1e-12
             det_s = jnp.where(safe, det, 1.0)
-            qx = (c * bx - b * by) / det_s
-            qy = (a * by - b * bx) / det_s
-            q_new = jnp.stack([qx, qy])
-            # Clamp the step so a degenerate window can't explode.
+            q_new = jnp.stack(
+                [(c * bx_r - b * by_r) / det_s, (a * by_r - b * bx_r) / det_s]
+            )
+            # Clamp the step (degenerate windows) and the total drift.
             d = jnp.clip(q_new - q, -2.0, 2.0)
-            return jnp.where(safe, q + d, q)
+            stepped = jnp.clip(q + d, center - max_drift, center + max_drift)
+            return jnp.where(safe, stepped, q)
 
-        return lax.fori_loop(0, n_iters, step, q0)
+        return lax.fori_loop(0, n_iters, step, q_init)
 
-    return jax.vmap(  # over batch
-        lambda gx_f, gy_f, qs: jax.vmap(lambda q: refine_one(gx_f, gy_f, q))(qs)
-    )(gx, gy, corners)
+    refined = jax.vmap(  # over batch
+        jax.vmap(refine_one)  # over corners
+    )(px_p, py_p, q0)
+    return refined + origin
 
 
 # ---------------------------------------------------------------------------
@@ -237,7 +276,10 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8):
 # ---------------------------------------------------------------------------
 
 
-def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
+def order_grid_points(
+    candidates, scores, board_shape, pitch_tol=0.35, refined=True,
+    position_jitter=0.5, n_windows=1,
+):
     """Assemble the (rows x cols) chessboard lattice from corner candidates.
 
     Grid growth with local step prediction (handles perspective): seed at
@@ -251,10 +293,11 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
     """
     rows, cols = board_shape
     n_needed = rows * cols
+    _empty = None if n_windows == 1 else []
     pts = np.asarray(candidates, dtype=float)
     sc = np.asarray(scores, dtype=float)
     if len(pts) < n_needed:
-        return None
+        return _empty
     # True corners score in a tight band well above clutter (saddle response
     # is contrast-normalized in practice); threshold relative to the n-th
     # strongest so the cut adapts to the scene.
@@ -263,7 +306,7 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
     pts = pts[keep]
     sc = sc[keep]
     if len(pts) < n_needed:
-        return None
+        return _empty
 
     # Deduplicate: subpixel refinement can collapse two distinct NMS peaks
     # onto the same corner (observed sub-px pairs on cluttered frames); a
@@ -283,7 +326,7 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
     pts = P[alive]
     sc = sc[order_sc][alive]
     if len(pts) < n_needed:
-        return None
+        return _empty
 
     # Pairwise distances; lattice pitch ~ median nearest-neighbor distance.
     d2 = d2s[np.ix_(alive, alive)]
@@ -371,7 +414,7 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
         if grid is not None:
             break
     if grid is None:
-        return None
+        return _empty
 
     # Extract the BEST complete window whose spans match {rows, cols}: BFS
     # growth can absorb lattice-consistent clutter corners just off the
@@ -389,10 +432,56 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
         for i0 in range(imin, imax - nr + 2):
             for j0 in range(jmin, jmax - nc + 2):
                 cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
-                if all(c in grid for c in cells):
-                    cell_sc = np.array([sc[grid[c]] for c in cells])
-                    windows.append(((cell_sc.min(), cell_sc.sum()), (nr, nc), cells))
+                present = [c for c in cells if c in grid]
+                n_missing = len(cells) - len(present)
+                # Tolerate up to 2 holes: a clutter overhang or a dimmed
+                # saddle can push 1-2 true corners out of the candidate
+                # top-K, which otherwise vetoes the whole board. Holes are
+                # filled by homography prediction below; complete windows
+                # always outrank holed ones.
+                if n_missing > 2 or not present:
+                    continue
+                cell_sc = np.array([sc[grid[c]] for c in present])
+                windows.append(
+                    (
+                        (-n_missing, cell_sc.min(), cell_sc.sum()),
+                        (nr, nc),
+                        cells,
+                    )
+                )
     windows.sort(key=lambda wdw: wdw[0], reverse=True)
+
+    def fill_holes(cells):
+        """Pixel positions for a window, homography-predicting missing
+        cells from the present ones (plain numpy DLT — this host helper
+        must not dispatch to a device)."""
+        present = [(c, pts[grid[c]]) for c in cells if c in grid]
+        missing = [c for c in cells if c not in grid]
+        if not missing:
+            return np.stack([pts[grid[c]] for c in cells])
+        src = np.array([c for c, _ in present], float)
+        dst = np.stack([p for _, p in present])
+        # DLT: rows [x, y, 1, 0, 0, 0, -ux, -uy], [0, 0, 0, x, y, 1, ...]
+        n = len(src)
+        A = np.zeros((2 * n, 9))
+        A[0::2, 0:2] = src
+        A[0::2, 2] = 1
+        A[0::2, 6:8] = -src * dst[:, 0:1]
+        A[0::2, 8] = -dst[:, 0]
+        A[1::2, 3:5] = src
+        A[1::2, 5] = 1
+        A[1::2, 6:8] = -src * dst[:, 1:2]
+        A[1::2, 8] = -dst[:, 1]
+        Hm = np.linalg.svd(A)[2][-1].reshape(3, 3)
+        lookup = dict(present)
+        out = []
+        for c in cells:
+            if c in lookup:
+                out.append(lookup[c])
+            else:
+                v = Hm @ np.array([c[0], c[1], 1.0])
+                out.append(v[:2] / v[2])
+        return np.stack(out)
 
     def smooth_enough(uv_grid):
         # Lattice validity: second differences along each axis measure the
@@ -400,23 +489,79 @@ def order_grid_points(candidates, scores, board_shape, pitch_tol=0.35):
         # under strong lens distortion/perspective (measured max ~0.8 px at
         # k1=-0.28); a clutter-substituted cell jumps by ~0.35*pitch (the
         # BFS admission tolerance, ~10 px). Threshold well between the two.
-        lim = max(0.15 * pitch, 2.5)
+        # Unrefined (integer NMS) positions carry up to +-0.5 px rounding
+        # per point -> up to 2 px of extra second difference; callers that
+        # order before subpixel refinement (refined=False) re-validate with
+        # the strict limit after refining (see _grid_smoothness_ok).
+        lim = max(0.15 * pitch, 2.5) + (0.0 if refined else 4.0 * position_jitter)
         for ax in (0, 1):
             d2d = np.diff(uv_grid, n=2, axis=ax)
             if d2d.size and np.linalg.norm(d2d, axis=-1).max() > lim:
                 return False
         return True
 
+    results = []
+    seen_cells = []
     for _, (nr, nc), cells in windows:
-        uvs = np.stack([pts[grid[c]] for c in cells])
+        uvs = fill_holes(cells)
         uv_grid = uvs.reshape(nr, nc, 2)
         if not smooth_enough(uv_grid):
             continue
+        cellset = frozenset(cells)
+        if cellset in seen_cells:
+            continue
+        seen_cells.append(cellset)
         if (nr, nc) == (rows, cols):
             # Make axis0 the cols-count axis.
             uv_grid = uv_grid.transpose(1, 0, 2)
-        return uv_grid.reshape(-1, 2)
-    return None
+        results.append(uv_grid.reshape(-1, 2))
+        if len(results) >= n_windows:
+            break
+    if n_windows == 1:
+        return results[0] if results else None
+    return results
+
+
+def _grid_smoothness_ok(uv_grid):
+    """Strict post-refinement lattice validity, applied after subpixel
+    refinement when the ordering ran on integer NMS peaks. Two tests:
+
+    1. Smoothness (see smooth_enough in order_grid_points): max second
+       difference along each axis under max(0.15 * pitch, 2.5) px.
+    2. Homography-outlier: fit the best homography canonical-grid -> uv and
+       reject grids whose worst corner deviates far beyond the grid's own
+       fit quality (max residual > max(4 x median, 1.2 px)). Lens
+       distortion curves the whole grid coherently (median and max grow
+       together, the relative bound holds); a clutter-substituted or
+       mis-filled corner is a lone outlier (measured: bad corners sit at
+       2-3 px residual vs <=0.6 px for genuine grids on hard frames).
+    """
+    d0 = np.linalg.norm(np.diff(uv_grid, axis=0), axis=-1)
+    d1 = np.linalg.norm(np.diff(uv_grid, axis=1), axis=-1)
+    pitch = np.median(np.concatenate([d0.ravel(), d1.ravel()]))
+    lim = max(0.15 * pitch, 2.5)
+    for ax in (0, 1):
+        d2d = np.diff(uv_grid, n=2, axis=ax)
+        if d2d.size and np.linalg.norm(d2d, axis=-1).max() > lim:
+            return False
+
+    nr, nc = uv_grid.shape[:2]
+    src = np.array([(i, j) for i in range(nr) for j in range(nc)], float)
+    dst = uv_grid.reshape(-1, 2).astype(float)
+    n = len(src)
+    A = np.zeros((2 * n, 9))
+    A[0::2, 0:2] = src
+    A[0::2, 2] = 1
+    A[0::2, 6:8] = -src * dst[:, 0:1]
+    A[0::2, 8] = -dst[:, 0]
+    A[1::2, 3:5] = src
+    A[1::2, 5] = 1
+    A[1::2, 6:8] = -src * dst[:, 1:2]
+    A[1::2, 8] = -dst[:, 1]
+    Hm = np.linalg.svd(A)[2][-1].reshape(3, 3)
+    ph = np.concatenate([src, np.ones((n, 1))], axis=1) @ Hm.T
+    res = np.linalg.norm(ph[:, :2] / ph[:, 2:] - dst, axis=1)
+    return res.max() <= max(4.0 * np.median(res), 1.2)
 
 
 # ---------------------------------------------------------------------------
@@ -612,6 +757,38 @@ def _find_and_refine(gray_b, max_candidates, nms_radius, win_size=5):
     return xy, refined, score
 
 
+@functools.partial(jax.jit, static_argnames=("max_candidates", "nms_radius"))
+@with_highest_precision
+def _find_candidates(gray_b, max_candidates, nms_radius):
+    """Device stage 1 of the batch pipeline: fused response + NMS + top-K
+    only. Subpixel refinement moved to stage 2 — ordering works on integer
+    NMS peaks, so only the rows*cols grid corners get refined instead of
+    all max_candidates (4.5x less refinement work at the default 160)."""
+    return find_corner_candidates(
+        gray_b / 255.0, max_candidates=max_candidates, nms_radius=nms_radius
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("win_size",))
+@with_highest_precision
+def _refine_points(gray_b, pts, win_size):
+    """Jitted subpixel refinement of explicit points (single-frame path)."""
+    return refine_corners_subpix(gray_b / 255.0, pts, win_size=win_size)
+
+
+@functools.partial(jax.jit, static_argnames=("template_size", "win_size"))
+@with_highest_precision
+def _refine_and_score(gray_b, grids, template_size, win_size):
+    """Fused device stage 2: subpixel-refine the ordered grid corners AND
+    score the four anchor-orientation hypotheses in one dispatch."""
+    B, gc, gr, _ = grids.shape
+    flat = grids.reshape(B, gc * gr, 2).astype(gray_b.dtype)
+    refined = refine_corners_subpix(gray_b / 255.0, flat, win_size=win_size)
+    grids_r = refined.reshape(B, gc, gr, 2)
+    scores4 = _batched_anchor_scores(gray_b, grids_r, template_size)
+    return grids_r, scores4
+
+
 def _subpix_win(subpix_winSize):
     """Normalize the reference's (w, h) winSize tuple to a scalar half-size.
 
@@ -659,31 +836,47 @@ def detect_chessboard(
     else:
         gray_det = gray
 
-    xy, refined, score = _find_and_refine(
-        gray_det[None], max_candidates, nms_radius, win_size
-    )
-    cand = np.asarray(refined[0]) / scale_factor
+    # Order on integer NMS peaks, then refine ONLY the rows*cols grid
+    # corners at full resolution (one jit each; the old flow refined all
+    # max_candidates at detection resolution and re-refined under
+    # scale_factor — 4.5x more refinement work for the same output).
+    xy, score = _find_candidates(gray_det[None], max_candidates, nms_radius)
+    cand = np.asarray(xy[0]) / scale_factor
     sc = np.asarray(score[0])
 
-    uvs = order_grid_points(cand, sc, board_shape)
-    if uvs is None:
-        return None
-
-    if scale_factor != 1:
-        # Re-refine at full resolution.
-        refined_full = refine_corners_subpix(
-            gray[None] / 255.0,
-            jnp.asarray(uvs[None], dtype=jnp.float32),
-            win_size=win_size,
+    # Up to 3 window hypotheses (see _batch_finish: under hard lighting a
+    # clutter- or boundary-aligned window can out-score the board; the
+    # anchor margin decides which window IS the board).
+    wins = order_grid_points(
+        cand, sc, board_shape, refined=False,
+        position_jitter=0.5 / scale_factor, n_windows=3,
+    )
+    best_pick = None  # (margin, uvs, match_scores)
+    for uvs0 in wins:
+        refined_full = _refine_points(
+            gray[None], jnp.asarray(uvs0[None], dtype=jnp.float32), win_size
         )
         uvs = np.asarray(refined_full[0])
-
+        if not _grid_smoothness_ok(
+            uvs.reshape(board_shape[1], board_shape[0], 2)
+        ):
+            continue
+        if not reorder:
+            return uvs
+        uvs_r, match_scores, _ = reorder_chessboard_corners(
+            image, uvs, board_shape
+        )
+        margin = match_scores[0] - match_scores[1]
+        if best_pick is None or margin > best_pick[0]:
+            best_pick = (margin, uvs_r, match_scores)
+    if best_pick is None:
+        return None
     if reorder:
-        uvs, match_scores, _ = reorder_chessboard_corners(image, uvs, board_shape)
-        if match_scores[0] - match_scores[1] < match_score_min_diff:
+        margin, uvs_r, match_scores = best_pick
+        if margin < match_score_min_diff:
             return None
-        return uvs, match_scores
-    return uvs
+        return uvs_r, match_scores
+    return None
 
 
 def detect_chessboard_batch(
@@ -745,67 +938,126 @@ def detect_chessboard_batch(
         return {}
     stage1 = _batch_dispatch(images, max_candidates, nms_radius, win_size)
     return _batch_finish(
-        stage1, B, board_shape, reorder, match_score_min_diff, template_size
+        stage1, B, board_shape, reorder, match_score_min_diff, template_size,
+        win_size,
     )
 
 
 def _batch_dispatch(images, max_candidates, nms_radius, win_size):
-    """Dispatch device stage 1 (gray + fused response/NMS + subpixel) for a
-    batch; returns DEVICE arrays (gray, refined, score) without blocking —
-    JAX async dispatch lets the device/transfer work proceed while the host
-    orders the previous batch (see detect_chessboard_batches)."""
+    """Dispatch device stage 1 (gray + fused response/NMS + top-K) for a
+    batch; returns DEVICE arrays (gray, xy, score) without blocking — JAX
+    async dispatch lets the device/transfer work proceed while the host
+    orders the previous batch (see detect_chessboard_batches). ``win_size``
+    is threaded through to stage 2 via _batch_finish."""
+    del win_size
     frames = np.stack([np.asarray(im) for im in images])
     gray = _gray_from_u8(jnp.asarray(frames))
-    _, refined, score = _find_and_refine(
-        gray, max_candidates, nms_radius, win_size
-    )
-    return gray, refined, score
+    xy, score = _find_candidates(gray, max_candidates, nms_radius)
+    return gray, xy, score
+
+
+_N_WINDOW_HYPOTHESES = 3
 
 
 def _batch_finish(
-    stage1, B, board_shape, reorder, match_score_min_diff, template_size
+    stage1, B, board_shape, reorder, match_score_min_diff, template_size,
+    win_size=5,
 ):
-    """Host half of the batch pipeline: lattice ordering per frame, then the
-    batched anchor-score device stage and the orientation decisions."""
-    gray, refined_d, score_d = stage1
-    refined = np.asarray(refined_d)
+    """Host half of the batch pipeline.
+
+    Lattice ordering per frame on the integer NMS peaks yields up to
+    ``_N_WINDOW_HYPOTHESES`` candidate windows per frame (a clutter- or
+    board-boundary-aligned window can out-score the true board under hard
+    lighting, and only the anchor decides conclusively which window IS the
+    board). ONE fused device dispatch subpixel-refines all hypotheses and
+    scores their anchor positions; the host then keeps, per frame, the
+    hypothesis with the best anchor margin among those passing the strict
+    post-refinement lattice check.
+    """
+    gray, xy_d, score_d = stage1
+    xy = np.asarray(xy_d)
     score = np.asarray(score_d)
 
+    NW = _N_WINDOW_HYPOTHESES
     cols, rows = board_shape[1], board_shape[0]
-    # Invalid slots get a benign canonical grid so the batched homography
-    # solve stays finite (their scores are discarded on host).
+    # Invalid slots get a benign canonical grid so the batched refine +
+    # homography solves stay finite (their outputs are discarded on host).
     ys, xs = np.mgrid[0:cols, 0:rows]
-    grids = np.broadcast_to(
-        np.stack([xs, ys], axis=-1).astype(np.float64), (B, cols, rows, 2)
+    hyp = np.broadcast_to(
+        (np.stack([xs, ys], axis=-1) + 32).astype(np.float64),
+        (B, NW, cols, rows, 2),
     ).copy()
-    valid = np.zeros(B, bool)
+    n_hyp = np.zeros(B, np.int64)
     for i in range(B):
-        uvs = order_grid_points(refined[i], score[i], board_shape)
-        if uvs is not None:
-            grids[i] = np.asarray(uvs).reshape(cols, rows, 2)
-            valid[i] = True
+        wins = order_grid_points(
+            xy[i], score[i], board_shape, refined=False, n_windows=NW
+        )
+        for h, uvs in enumerate(wins):
+            hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
+        n_hyp[i] = len(wins)
 
-    if not reorder:
-        return {
-            int(i): grids[i].reshape(-1, 2) for i in np.nonzero(valid)[0]
-        }
+    def score_hyps(hyps_flat, n_rep):
+        """One fused refine + anchor-score dispatch over n_rep hypotheses
+        per frame (canonical filler in unused slots, discarded below)."""
+        g_in = gray if n_rep == 1 else jnp.repeat(gray, n_rep, axis=0)
+        grids_r, scores4_d = _refine_and_score(
+            g_in,
+            jnp.asarray(hyps_flat, gray.dtype),
+            template_size,
+            win_size,
+        )
+        return (
+            np.asarray(grids_r).reshape(B, n_rep, cols, rows, 2),
+            np.asarray(scores4_d).reshape(B, n_rep, 4),
+        )
 
-    scores4 = np.asarray(
-        _batched_anchor_scores(gray, jnp.asarray(grids, gray.dtype), template_size)
-    )
+    def pick(i, grids_i, scores_i, n, out):
+        """Best hypothesis for frame i: strict lattice check, then the
+        anchor decision with the largest margin. True = accepted."""
+        best_pick = None  # (margin, grid, sorted_scores)
+        for h in range(n):
+            g = grids_i[h]
+            if not _grid_smoothness_ok(g):
+                continue
+            if not reorder:
+                # No anchor decision requested: first valid window wins
+                # (score-rank order, as before).
+                out[int(i)] = g.reshape(-1, 2)
+                return True
+            ms = scores_i[h]
+            ss = np.sort(ms)[::-1]
+            margin = ss[0] - ss[1]
+            if best_pick is None or margin > best_pick[0]:
+                best = int(np.argmax(ms))
+                if best in (2, 3):  # anchor on the bottom row -> flip rows
+                    g = g[::-1, :]
+                if best in (1, 2):  # anchor on the right col -> flip cols
+                    g = g[:, ::-1]
+                best_pick = (margin, g, ss)
+        if best_pick is not None and best_pick[0] >= match_score_min_diff:
+            out[int(i)] = (best_pick[1].reshape(-1, 2), best_pick[2])
+            return True
+        return False
+
+    # Lazy hypothesis evaluation: the top-ranked window is right on clean
+    # frames, so score it alone first (one dispatch); only when some frame
+    # rejects it do the remaining hypotheses get their own (single) fused
+    # dispatch. Clean batches never pay the multi-hypothesis cost.
     out = {}
-    for i in np.nonzero(valid)[0]:
-        ms = scores4[i]
-        best = int(np.argmax(ms))
-        g = grids[i]
-        if best in (2, 3):  # best match on the bottom row -> flip rows
-            g = g[::-1, :]
-        if best in (1, 2):  # best match on the right column -> flip cols
-            g = g[:, ::-1]
-        ss = np.sort(ms)[::-1]
-        if ss[0] - ss[1] < match_score_min_diff:
-            continue
-        out[int(i)] = (g.reshape(-1, 2), ss)
+    grids1, scores1 = score_hyps(hyp[:, 0], 1)
+    retry = [
+        i
+        for i in range(B)
+        if n_hyp[i] > 0
+        and not pick(i, grids1[i], scores1[i], 1, out)
+        and n_hyp[i] > 1
+    ]
+    if retry:
+        grids2, scores2 = score_hyps(
+            hyp[:, 1:].reshape(B * (NW - 1), cols, rows, 2), NW - 1
+        )
+        for i in retry:
+            pick(i, grids2[i], scores2[i], int(n_hyp[i]) - 1, out)
     return out
 
 
@@ -863,7 +1115,7 @@ def detect_chessboard_batches(
         if prev is not None:
             yield _batch_finish(
                 prev[0], prev[1], board_shape, reorder, match_score_min_diff,
-                template_size,
+                template_size, win_size,
             )
         elif cur is None:
             yield {}
@@ -877,5 +1129,5 @@ def detect_chessboard_batches(
     if prev is not None:
         yield _batch_finish(
             prev[0], prev[1], board_shape, reorder, match_score_min_diff,
-            template_size,
+            template_size, win_size,
         )

@@ -74,8 +74,22 @@ def main():
 
     def measure(batch, rounds):
         """Pipelined throughput (the production process_video shape):
-        device stage k+1 dispatched before host ordering of batch k."""
-        batches = [frames * (batch // BATCH)] * rounds
+        device stage k+1 dispatched before host ordering of batch k.
+        Every round's frames differ (fresh sensor noise) so no relay/cache
+        layer can short-circuit a repeated upload or computation."""
+        rng = np.random.default_rng(7)
+        batches = [
+            [
+                np.clip(
+                    f.astype(np.int16)
+                    + rng.integers(-2, 3, f.shape, dtype=np.int16),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                for f in frames * (batch // BATCH)
+            ]
+            for _ in range(rounds)
+        ]
         # warm-up compiles the device stages for this batch shape
         next(detect_chessboard_batches(iter(batches[:1]), board_shape=BOARD))
         t0 = time.time()
@@ -95,15 +109,106 @@ def main():
     best_batch = max(results, key=lambda b: results[b][0])
     fps, rate = results[best_batch]
 
+    # Device-resident rate: frames already in HBM (batched stage 1 + host
+    # ordering + batched anchor stage; no bulk image upload). This is the
+    # pipeline's intrinsic rate — on this container the host<->device link
+    # is a ~24 MB/s remote tunnel that caps tunnel-fed throughput at
+    # ~(link_MBps / frame_MB) fps regardless of compute; production PCIe/
+    # on-host TPU attach is 2-3 orders of magnitude wider.
+    import jax.numpy as jnp
+
+    from multicam_calibration_tpu.detection.detector import (
+        _batch_finish,
+        _find_candidates,
+        _gray_from_u8,
+    )
+
+    dbatch = 128
+    stack = np.stack(frames * (dbatch // BATCH))
+    gray = _gray_from_u8(jnp.asarray(stack))
+    np.asarray(gray[0, 0, 0])  # staged
+
+    # Distinct per-round noise added ON DEVICE (the point is to exclude the
+    # bulk host->device upload, not to let a cache skip the compute).
+    import jax as _jax
+
+    keys = _jax.random.split(_jax.random.PRNGKey(3), ROUNDS)
+    noisy = [
+        gray + 2.0 * _jax.random.normal(k, gray.shape, gray.dtype)
+        for k in keys
+    ]
+    # One-step lookahead like the production pipeline: next round's stage 1
+    # dispatched before this round's host ordering.
+    def dr_stage1(g):
+        return (g,) + tuple(_find_candidates(g, 160, 4))
+
+    def dr_finish(s1):
+        return _batch_finish(s1, dbatch, BOARD, True, 0.2, 40, 5)
+
+    dr_finish(dr_stage1(noisy[0]))  # warm
+    t0 = time.time()
+    n_det_d = 0
+    prev = dr_stage1(noisy[0])
+    for g in noisy[1:]:
+        cur = dr_stage1(g)
+        n_det_d += len(dr_finish(prev))
+        prev = cur
+    n_det_d += len(dr_finish(prev))
+    wall_d = time.time() - t0
+    fps_dev = dbatch * ROUNDS / wall_d
+    rate_dev = n_det_d / (dbatch * ROUNDS)
+    print(
+        f"device-resident batch {dbatch}: {fps_dev:.1f} fps, "
+        f"rate {rate_dev:.3f}",
+        flush=True,
+    )
+
     ref_fps_core, ref_rate = measure_reference(frames)
     n_cores = os.cpu_count() or 1
     ref_fps_pool = ref_fps_core * n_cores
+
+    # Hard regime: lens distortion + lighting gradient + vignette + clutter
+    # (the conditions real calibration videos actually have). Both detectors
+    # run on identical frames; rate matters as much as fps here.
+    K_hard = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    hard_frames = []
+    for k in range(BATCH):
+        rng = np.random.default_rng(500 + k)
+        H = random_view_homography(rng, board_shape=BOARD)
+        view, _ = render_board_view(
+            H, out_size=(480, 640), board_shape=BOARD, noise=2.0, seed=k,
+            camera_matrix=K_hard, dist_coefs=np.array([-0.28, 0.12]),
+            lighting_gradient=0.8, vignette=0.4, clutter=6,
+        )
+        hard_frames.append(np.asarray(view).astype(np.uint8))
+    found = mct.detect_chessboard_batch(hard_frames, board_shape=BOARD)
+    t0 = time.time()
+    n_hard = 0
+    for _ in range(ROUNDS):
+        n_hard += len(
+            mct.detect_chessboard_batch(hard_frames, board_shape=BOARD)
+        )
+    hard_fps = BATCH * ROUNDS / (time.time() - t0)
+    hard_rate = n_hard / (BATCH * ROUNDS)
+    ref_hard_fps, ref_hard_rate = measure_reference(hard_frames)
+    print(
+        f"hard frames: ours {hard_fps:.1f} fps rate {hard_rate:.3f} | "
+        f"reference {ref_hard_fps:.1f} fps/core rate {ref_hard_rate:.3f}",
+        flush=True,
+    )
     rec = {
         "frames_per_s": round(fps, 2),
         "batch": best_batch,
         "rounds": ROUNDS,
         "detection_rate": round(rate, 3),
         "per_batch_fps": {str(b): round(results[b][0], 2) for b in results},
+        "device_resident_fps": round(fps_dev, 2),
+        "device_resident_rate": round(rate_dev, 3),
+        "host_device_link_note": (
+            "this container's host<->TPU link is a ~24 MB/s remote tunnel; "
+            "tunnel-fed fps is link-bound, device_resident_fps is the "
+            "pipeline's intrinsic rate"
+        ),
         "image": "480x640 synthetic board views",
         "platform": jax.default_backend(),
         "reference_fps_per_core": round(ref_fps_core, 2),
@@ -111,6 +216,12 @@ def main():
         "reference_detection_rate": round(ref_rate, 3),
         "n_cores": n_cores,
         "vs_reference_pool": round(fps / ref_fps_pool, 2),
+        "hard_frames": {
+            "fps": round(hard_fps, 2),
+            "detection_rate": round(hard_rate, 3),
+            "reference_fps_per_core": round(ref_hard_fps, 2),
+            "reference_detection_rate": round(ref_hard_rate, 3),
+        },
     }
     print(json.dumps(rec))
     out = os.path.join(
