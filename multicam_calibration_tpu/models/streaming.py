@@ -71,8 +71,24 @@ class RollingCalibrator:
         n_cameras = self._ext.shape[0]
         N = self.objpoints.shape[0]
         self._dtype = dtype or jnp.zeros(0).dtype
+        # Same platform-aware numerics as bundle_adjust: under f64 data on
+        # an accelerator backend, run Jacobians / J^T J blocks / Schur /
+        # cost projections in f32 (only the residual-gradient path needs
+        # f64; TPU emulates f64 at ~10-20x f32 cost, and the pure-f64
+        # 64-cam x window-256 program is heavy enough to stress the
+        # compiler).
+        f32_extras = {}
+        if self._dtype == jnp.float64 and (
+            jnp.zeros(0).devices().pop().platform != "cpu"
+        ):
+            f32_extras = dict(
+                jac_dtype="float32",
+                block_dtype="float32",
+                cost_dtype="float32",
+                solve_dtype="float32",
+            )
         self._opts = lm_options or LMOptions(
-            max_iters=int(iters_per_update), ftol=0.0
+            max_iters=int(iters_per_update), ftol=0.0, **f32_extras
         )
         cam_free = np.ones((n_cameras, 12), np.float32)
         if not refine_intrinsics:
@@ -155,15 +171,20 @@ class RollingCalibrator:
             raise ValueError(f"expected {self.n_cameras} cameras, got {C}")
 
         # 1. pose init for the incoming frames at current cameras (one
-        # batched dispatch across all cameras).
+        # batched vmapped call across all cameras — the per-camera Python
+        # loop cost C separate dispatches). Pinned to the CPU backend: the
+        # data is tiny (C x B x N x 2), the homography-pose path contains
+        # 3x3 LU solves that XLA:TPU does not implement for emulated f64,
+        # and the accelerator's time belongs to the windowed LM below.
         Ks = np.stack([K for K, _ in self._intr])
         ds = np.stack([d for _, d in self._intr])
-        per_cam = np.asarray(
-            _batched_estimate_pose(
-                jnp.asarray(batch_uvs), jnp.asarray(Ks), jnp.asarray(ds),
-                jnp.asarray(self.objpoints),
+        with jax.default_device(jax.devices("cpu")[0]):
+            per_cam = np.asarray(
+                _batched_estimate_pose(
+                    jnp.asarray(batch_uvs), jnp.asarray(Ks), jnp.asarray(ds),
+                    jnp.asarray(self.objpoints),
+                )
             )
-        )
         poses_new = np.asarray(consensus_calib_poses(per_cam, self._ext))
         ok = ~np.isnan(poses_new).any(-1)
 
