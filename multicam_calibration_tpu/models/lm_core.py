@@ -656,7 +656,10 @@ def lm_solve(
         # shrinking the trust region across iterations. Terminating on the
         # first failed round made f32 runs stop at wildly run-dependent
         # points of the valley (observed 6.5k-57k final costs on the same
-        # problem).
+        # problem). (Counting failed rounds toward the ftol patience was
+        # tried in r2: zero wall-clock effect on the bench problem, and it
+        # let chunked/dense trajectories diverge in iteration count at the
+        # endgame — reverted.)
         exhausted = (~accepted) & (lam_next >= opts.max_lambda)
         slow = easy_step & (rel_drop < opts.ftol)
         slow_steps = jnp.where(slow, state.slow_steps + 1, 0)

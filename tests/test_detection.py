@@ -314,3 +314,43 @@ class TestVideoLayer:
         assert table.values[0, 0] == 3
         assert table.values[1, 1] == 3
         assert table.values[0, 1] == 1
+
+
+def test_batches_generator_matches_batch():
+    """detect_chessboard_batches (double-buffered pipeline) yields
+    element-identical results to detect_chessboard_batch, including empty
+    batches mid-stream."""
+    from multicam_calibration_tpu.detection.detector import (
+        detect_chessboard_batch,
+        detect_chessboard_batches,
+    )
+
+    batches = []
+    for b in range(3):
+        fr = []
+        for k in range(6):
+            rng = np.random.default_rng(100 * b + k)
+            H = random_view_homography(rng, board_shape=BOARD)
+            v, _ = render_board_view(
+                H, out_size=(480, 640), board_shape=BOARD, noise=1.5, seed=k
+            )
+            fr.append(np.asarray(v).astype(np.uint8))
+        batches.append(fr)
+
+    seq = [detect_chessboard_batch(fr, board_shape=BOARD) for fr in batches]
+    pip = list(detect_chessboard_batches(iter(batches), board_shape=BOARD))
+    assert len(pip) == 3
+    for s, p in zip(seq, pip):
+        assert s.keys() == p.keys()
+        for k in s:
+            np.testing.assert_array_equal(s[k][0], p[k][0])
+            np.testing.assert_array_equal(s[k][1], p[k][1])
+    # Empty batch mid-stream yields {} in-order.
+    pip2 = list(
+        detect_chessboard_batches(
+            iter([batches[0], [], batches[1]]), board_shape=BOARD
+        )
+    )
+    assert len(pip2) == 3 and pip2[1] == {}
+    assert pip2[0].keys() == seq[0].keys()
+    assert pip2[2].keys() == seq[1].keys()
