@@ -101,6 +101,7 @@ def cmd_calibrate(args):
             ftol=cfg.ba.ftol,
             loss=cfg.ba.loss,
             max_iters=cfg.ba.max_iters,
+            frame_chunk=cfg.ba.frame_chunk,
         )
         med, _, _ = compute_residual_metric(
             uvs[:, use_frames], ext, intr, objpoints, poses_adj
@@ -141,6 +142,7 @@ def cmd_adjust(args):
     ext2, intr2, poses2, use_frames, info = bundle_adjust(
         uvs, np.asarray(ext), intr, objpoints, poses,
         n_frames=cfg.ba.n_frames, ftol=cfg.ba.ftol, max_iters=cfg.ba.max_iters,
+        frame_chunk=cfg.ba.frame_chunk,
         checkpoint_path=getattr(args, "checkpoint", None),
     )
     save_calibration(ext2, intr2, names, args.output, save_format=args.format)
@@ -210,7 +212,20 @@ def cmd_benchmark(args):
     cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=dtype)
     poses0 = jnp.asarray(np.nan_to_num(np.asarray(poses)[use]), dtype=dtype)
     objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
-    opts = LMOptions(max_iters=args.max_iters, jac_dtype="float32")
+    # The shipped TPU mixed recipe (see lm_core.LMOptions / CLAUDE.md);
+    # on CPU the f32 extras cost more than they save and stay off.
+    f32_extras = (
+        {}
+        if jax.default_backend() == "cpu"
+        else dict(
+            block_dtype="float32",
+            cost_dtype="float32",
+            solve_dtype="float32",
+        )
+    )
+    opts = LMOptions(
+        max_iters=args.max_iters, jac_dtype="float32", **f32_extras
+    )
 
     out = lm_solve(cam0, poses0, obs, mask, objp, opts)  # compile
     _ = np.asarray(out[0])  # host materialization (block_until_ready does

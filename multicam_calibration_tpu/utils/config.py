@@ -56,6 +56,9 @@ class BAConfig:
     max_iters: int = 100
     dtype: str = "float32"  # compute dtype on device
     n_devices: Optional[int] = None  # None -> single device
+    # Frames per linearization chunk (None = dense). Bounds LM peak memory
+    # at O(C * frame_chunk) for very large problems (see LMOptions).
+    frame_chunk: Optional[int] = None
 
 
 @dataclasses.dataclass
