@@ -23,8 +23,9 @@ def main():
 
     from multicam_calibration_tpu.detection.detector import (
         _batched_anchor_scores,
-        _find_and_refine,
+        _find_candidates,
         _gray_from_u8,
+        _refine_and_score,
         order_grid_points,
     )
     from multicam_calibration_tpu.detection.synthetic_images import (
@@ -68,10 +69,10 @@ def main():
 
     def stage1():
         g = _gray_from_u8(jnp.asarray(stack))
-        _, refined, score = _find_and_refine(g, 160, 4, 5)
-        return np.asarray(refined), np.asarray(score)
+        xy, score = _find_candidates(g, 160, 4)
+        return np.asarray(xy), np.asarray(score)
 
-    t1 = timed("device: gray+response+NMS+subpix", stage1)
+    t1 = timed("device: gray+response+NMS+topK", stage1)
     refined, score = stage1()
 
     def host_order():
@@ -87,10 +88,10 @@ def main():
     grids = np.stack([np.asarray(g).reshape(cols, rows, 2) for g in grids_l])
 
     def stage2():
-        s = _batched_anchor_scores(gray, jnp.asarray(grids, gray.dtype), 40)
-        return np.asarray(s)
+        gr, s = _refine_and_score(gray, jnp.asarray(grids, gray.dtype), 40, 5)
+        return np.asarray(gr), np.asarray(s)
 
-    t3 = timed("device: batched anchor scores", stage2)
+    t3 = timed("device: fused refine+anchor scores", stage2)
     total = t1 + t2 + t3
     print(
         f"sum {total*1e3:.1f} ms -> {BATCH/total:.1f} fps "
