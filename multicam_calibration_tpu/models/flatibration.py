@@ -63,7 +63,9 @@ def ransac_plane_fit(points, residual_threshold=10.0, n_hypotheses=256, seed=0):
     z = tri[..., 2]
     # Solve each 3x3 for (a, b, t); degenerate (collinear) samples produce
     # inf/NaN and score zero inliers.
-    coef = jnp.linalg.solve(A, z[..., None])[..., 0]  # (H, 3)
+    from ..ops.homography import inv3x3
+
+    coef = jnp.einsum("hij,hj->hi", inv3x3(A), z)  # (H, 3)
     pred = pts[:, 0][None] * coef[:, 0:1] + pts[:, 1][None] * coef[:, 1:2] + coef[:, 2:3]
     resid = jnp.abs(pts[:, 2][None] - pred)  # (H, n)
     inliers = (resid < residual_threshold) & jnp.isfinite(resid)
@@ -76,7 +78,7 @@ def ransac_plane_fit(points, residual_threshold=10.0, n_hypotheses=256, seed=0):
     X = jnp.concatenate([pts[:, :2], jnp.ones((n, 1), pts.dtype)], axis=-1)
     XtX = (X * w[:, None]).T @ X
     Xtz = (X * w[:, None]).T @ pts[:, 2]
-    a, b, t = jnp.linalg.solve(XtX, Xtz)
+    a, b, t = inv3x3(XtX) @ Xtz  # SPD 3x3; adjugate inverse is TPU-f64-safe
     return a, b, t, mask
 
 

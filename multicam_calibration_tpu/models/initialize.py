@@ -121,8 +121,12 @@ def poses_from_homographies(Hs, K):
     board sits in front of the camera (t_z > 0).
     """
 
+    from jax.scipy.linalg import solve_triangular
+
     def one(H):
-        M = jnp.linalg.solve(K, H)
+        # K is upper triangular; jnp.linalg.solve would lower to LU, which
+        # XLA:TPU does not implement for emulated f64.
+        M = solve_triangular(K, H, lower=False)
         lam = 1.0 / jnp.maximum(jnp.linalg.norm(M[:, 0]), 1e-30)
         # Board must be in front of the camera: t_z > 0 fixes the sign.
         lam = lam * jnp.sign(M[2, 2] + 1e-30)
@@ -158,7 +162,12 @@ def _refine_poses_gn(poses, cam12, calib_uvs, mask, objpoints, n_iters=10):
         J = jax.jacfwd(residual)(pose6, uvs, m)
         H = J.T @ J + 1e-8 * jnp.eye(6, dtype=pose6.dtype)
         g = J.T @ r
-        return pose6 - jnp.linalg.solve(H, g)
+        # H is SPD: Cholesky solve (TPU-safe under emulated f64; LU is not).
+        from jax.scipy.linalg import solve_triangular as _st
+
+        L = jnp.linalg.cholesky(H)
+        y = _st(L, g[:, None], lower=True)
+        return pose6 - _st(L, y, lower=True, trans=1)[:, 0]
 
     def refine_one(pose6, uvs, m):
         def body(_, p):

@@ -28,6 +28,7 @@ from .projection import (
 from .homography import (
     apply_homography,
     fit_homography,
+    inv3x3,
     get_perspective_transform,
     warp_perspective,
 )
@@ -59,6 +60,7 @@ __all__ = [
     "undistort_points",
     "apply_homography",
     "fit_homography",
+    "inv3x3",
     "get_perspective_transform",
     "warp_perspective",
     "triangulate",

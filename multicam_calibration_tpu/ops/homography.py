@@ -38,6 +38,37 @@ def _normalization_transform(pts):
     return jnp.concatenate([row0, row1, row2], axis=-2)
 
 
+def inv3x3(M):
+    """Closed-form (adjugate) 3x3 inverse, batched over leading dims.
+
+    jnp.linalg.inv lowers to LuDecomposition, which XLA:TPU implements only
+    for f32/c64 — this keeps every homography path usable under emulated
+    f64 on TPU. Singular inputs produce inf/NaN, matching LU behavior.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack(
+        [
+            jnp.stack([A, B, C], axis=-1),
+            jnp.stack([D, E, F], axis=-1),
+            jnp.stack([G, H, I], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
 def fit_homography(src, dst, weights=None):
     """Least-squares homography H with dst ~ H @ src, batched over leading dims.
 
@@ -72,7 +103,11 @@ def fit_homography(src, dst, weights=None):
     _, vecs = jnp.linalg.eigh(ATA)
     h = vecs[..., :, 0]
     Hn = h.reshape(*h.shape[:-1], 3, 3)
-    H = jnp.linalg.solve(Td, Hn @ Ts)
+    # Td is an upper-triangular similarity -> triangular solve (TPU has no
+    # f64 LU lowering; see inv3x3).
+    from jax.scipy.linalg import solve_triangular
+
+    H = solve_triangular(Td, Hn @ Ts, lower=False)
     return H / H[..., 2:3, 2:3]
 
 
@@ -96,7 +131,7 @@ def warp_perspective(image, H, out_shape):
     (out_h, out_w). Fully vectorized; batch by vmap-ing over (image, H).
     """
     out_h, out_w = out_shape
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv3x3(H)
     ys, xs = jnp.meshgrid(
         jnp.arange(out_h, dtype=Hinv.dtype),
         jnp.arange(out_w, dtype=Hinv.dtype),
