@@ -574,6 +574,41 @@ def bundle_adjust(
             info["n_iters"] = it_done
             info["initial_cost"] = first_cost
 
+    # f64 polish after a mixed-precision descent: the f32 Schur solve can
+    # stall a few percent above the optimum on small or ill-conditioned
+    # problems (the gauge-free camera system's conditioning is what f32
+    # cannot always handle; measured a 6.9% shelf on a 4-cam toy problem —
+    # large problems converge to the noise floor without it). A short
+    # warm-started f64 solve from the mixed solution costs a handful of
+    # iterations and guarantees f64-grade final quality at mixed-recipe
+    # descent speed.
+    if (
+        opts.solve_dtype is not None
+        and cam0_j.dtype == jnp.float64
+        and jnp.dtype(opts.solve_dtype) != jnp.float64
+    ):
+        import dataclasses as _dc
+
+        polish_opts = _dc.replace(
+            opts,
+            block_dtype=None,
+            cost_dtype=None,
+            solve_dtype=None,
+            max_iters=10,
+        )
+        with metrics.timer("ba.f64_polish"):
+            cam, poses, pinfo = _solve(
+                cam, poses, polish_opts, init_lam=float(info["lambda"])
+            )
+        info = dict(info)
+        info["polish_iters"] = int(pinfo["n_iters"])
+        info["final_cost"] = pinfo["final_cost"]
+        info["optimality"] = pinfo["optimality"]
+        metrics.log(
+            "ba_f64_polish", iters=int(pinfo["n_iters"]),
+            cost=float(pinfo["final_cost"]),
+        )
+
     _emit_lm_history(info, verbose)
 
     if repair_poses and mesh is not None:
