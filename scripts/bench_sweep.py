@@ -28,9 +28,11 @@ CONFIGS = [
     # frames — the dense path would materialize tens of GB of jacfwd
     # transients (VERDICT r1 weak #1). One timed run (it is minutes, and
     # run-to-run variance amortizes over ~double-digit iterations anyway).
+    # frame_chunk=256: measured fastest of {256, 512, 1024, 2000} (12.3 /
+    # 13.4 / 14.0 / 13.0 s) and the lowest peak memory.
     {
         "n_cameras": 64, "n_frames": 20000, "init": "perturbed",
-        "frame_chunk": 512, "timed_runs": 1,
+        "frame_chunk": 256, "timed_runs": 1,
     },
 ]
 
