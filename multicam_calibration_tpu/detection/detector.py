@@ -406,7 +406,10 @@ def order_grid_points(
                         used_mask[cand] = True
                         new_frontier.append(tgt)
             frontier = new_frontier
-        return grid if len(grid) >= n_needed else None
+        # Up to 2 lattice holes are tolerated downstream (window cells
+        # filled by homography prediction) — requiring a full n_needed here
+        # would veto exactly the grids the hole tolerance exists for.
+        return grid if len(grid) >= n_needed - 2 else None
 
     grid = None
     for seed in seed_order[:5]:

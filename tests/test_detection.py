@@ -354,3 +354,82 @@ def test_batches_generator_matches_batch():
     assert len(pip2) == 3 and pip2[1] == {}
     assert pip2[0].keys() == seq[0].keys()
     assert pip2[2].keys() == seq[1].keys()
+
+
+class TestWindowRobustness:
+    """Unit tests for the hard-frame machinery: hole-tolerant windows,
+    multi-window hypotheses, and the homography-outlier grid check."""
+
+    def _clean_candidates(self, seed=0, n_clutter=40):
+        """Integer candidate set = distorted GT corners + random clutter."""
+        from multicam_calibration_tpu.detection.synthetic_images import (
+            random_view_homography,
+        )
+
+        rng = np.random.default_rng(seed)
+        H = random_view_homography(rng, board_shape=BOARD)
+        # project canonical lattice through H like the renderer does
+        cols, rows = BOARD[1], BOARD[0]
+        import multicam_calibration_tpu as _m
+
+        ys, xs = np.mgrid[0:cols, 0:rows]
+        can = np.stack([xs, ys], -1).reshape(-1, 2).astype(float)
+        from multicam_calibration_tpu.ops.homography import apply_homography
+
+        uv = np.asarray(apply_homography(H, can * 40.0 + 100.0))
+        clutter = rng.uniform(20, 600, (n_clutter, 2))
+        # keep clutter off the board corners
+        d = np.linalg.norm(clutter[:, None] - uv[None], axis=-1)
+        clutter = clutter[d.min(1) > 12]
+        pts = np.concatenate([uv, clutter])
+        sc = np.concatenate(
+            [rng.uniform(0.8, 1.0, len(uv)), rng.uniform(0.3, 0.6, len(clutter))]
+        )
+        return np.round(pts), sc, uv
+
+    def test_hole_filling_recovers_missing_corners(self):
+        from multicam_calibration_tpu.detection.detector import (
+            order_grid_points,
+        )
+
+        pts, sc, uv = self._clean_candidates(seed=1)
+        # delete two interior true corners from the candidate set
+        keep = np.ones(len(pts), bool)
+        keep[[10, 22]] = False
+        got = order_grid_points(pts[keep], sc[keep], BOARD, refined=False)
+        assert got is not None
+        d = np.linalg.norm(got[:, None] - uv[None], axis=-1).min(1)
+        # filled corners come from the window homography: within ~2 px of
+        # the true (homography-consistent) lattice
+        assert d.max() < 2.5, d.max()
+
+    def test_n_windows_returns_distinct_hypotheses(self):
+        from multicam_calibration_tpu.detection.detector import (
+            order_grid_points,
+        )
+
+        pts, sc, uv = self._clean_candidates(seed=2)
+        wins = order_grid_points(
+            pts, sc, BOARD, refined=False, n_windows=3
+        )
+        assert isinstance(wins, list) and len(wins) >= 1
+        for w in wins:
+            assert w.shape == (BOARD[0] * BOARD[1], 2)
+        if len(wins) > 1:  # distinct cell sets
+            assert not np.allclose(wins[0], wins[1])
+        # and n_windows=1 keeps the legacy single-array return type
+        one = order_grid_points(pts, sc, BOARD, refined=False)
+        np.testing.assert_array_equal(one, wins[0])
+
+    def test_homography_outlier_rejects_substituted_corner(self):
+        from multicam_calibration_tpu.detection.detector import (
+            _grid_smoothness_ok,
+        )
+
+        pts, sc, uv = self._clean_candidates(seed=3)
+        cols, rows = BOARD[1], BOARD[0]
+        grid = uv.reshape(cols, rows, 2).copy()
+        assert _grid_smoothness_ok(grid)
+        bad = grid.copy()
+        bad[3, 2] += (4.0, -3.0)  # one clutter-substituted corner
+        assert not _grid_smoothness_ok(bad)
