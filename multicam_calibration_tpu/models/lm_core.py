@@ -69,6 +69,13 @@ class LMOptions:
     gtol: float = 1e-12
     init_lambda: float = 1e-4
     lambda_up: float = 5.0
+    # Escalation of the rejection multiplier WITHIN a damping round: the
+    # t-th consecutive failed try multiplies lambda by
+    # lambda_up * lambda_escalation**t. 1.0 = classic constant multiplier;
+    # 2.0 reaches a workable lambda in ~half the tries when the current
+    # lambda is far too small (end-game rounds otherwise burn max_tries
+    # Schur solves + cost evals marching lambda up by 5x steps).
+    lambda_escalation: float = 1.0
     lambda_down: float = 1.0 / 3.0
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
@@ -615,7 +622,10 @@ def lm_solve(
             poses_try = state.pose_params + dpose[: state.pose_params.shape[0]]
             cost_try = cost_fn(cam_try, poses_try)
             accepted = (cost_try < state.cost) & jnp.isfinite(cost_try)
-            lam_next = jnp.where(accepted, lam, lam * opts.lambda_up)
+            step_up = opts.lambda_up * opts.lambda_escalation ** tries.astype(
+                state.cost.dtype
+            )
+            lam_next = jnp.where(accepted, lam, lam * step_up)
             return (
                 jnp.where(accepted, cam_try, cam),
                 jnp.where(accepted, poses_try, poses),

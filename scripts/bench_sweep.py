@@ -108,6 +108,7 @@ def main():
             block_dtype="float32",
             cost_dtype="float32",
             solve_dtype="float32",
+            lambda_escalation=3.0,
             frame_chunk=cfg.get("frame_chunk"),
         )
 
