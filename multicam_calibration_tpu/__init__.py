@@ -51,6 +51,7 @@ from .viz import (
 from .detection import (
     detect_chessboard,
     detect_chessboard_batch,
+    detect_chessboard_batches,
     extend_grid,
     generate_chessboard_objpoints,
     process_video,
@@ -95,6 +96,7 @@ __all__ = list(_ops_all) + [
     "generate_chessboard_objpoints",
     "detect_chessboard",
     "detect_chessboard_batch",
+    "detect_chessboard_batches",
     "extend_grid",
     "process_video",
     "reorder_chessboard_corners",

@@ -276,9 +276,12 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
 # ---------------------------------------------------------------------------
 
 
+_HOLE_TOLERANCE = 3
+
+
 def order_grid_points(
     candidates, scores, board_shape, pitch_tol=0.35, refined=True,
-    position_jitter=0.5, n_windows=1,
+    position_jitter=0.5, n_windows=1, return_masks=False,
 ):
     """Assemble the (rows x cols) chessboard lattice from corner candidates.
 
@@ -290,6 +293,10 @@ def order_grid_points(
 
     Returns uvs (rows*cols, 2) ordered row-major (orientation arbitrary up
     to flips/transpose — resolved later by anchor matching), or None.
+    With ``return_masks=True``, each window comes as ``(uvs, constructed)``
+    where ``constructed`` is a (rows*cols,) bool marking cells that were
+    homography-predicted (holes / weak pseudo-corners) rather than measured
+    — downstream validation exempts them from the outlier criteria.
     """
     rows, cols = board_shape
     n_needed = rows * cols
@@ -406,10 +413,11 @@ def order_grid_points(
                         used_mask[cand] = True
                         new_frontier.append(tgt)
             frontier = new_frontier
-        # Up to 2 lattice holes are tolerated downstream (window cells
-        # filled by homography prediction) — requiring a full n_needed here
-        # would veto exactly the grids the hole tolerance exists for.
-        return grid if len(grid) >= n_needed - 2 else None
+        # Up to _HOLE_TOLERANCE lattice holes are tolerated downstream
+        # (window cells filled by homography prediction) — requiring a full
+        # n_needed here would veto exactly the grids the hole tolerance
+        # exists for.
+        return grid if len(grid) >= n_needed - _HOLE_TOLERANCE else None
 
     grid = None
     for seed in seed_order[:5]:
@@ -436,46 +444,51 @@ def order_grid_points(
             for j0 in range(jmin, jmax - nc + 2):
                 cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
                 present = [c for c in cells if c in grid]
-                n_missing = len(cells) - len(present)
-                # Tolerate up to 2 holes: a clutter overhang or a dimmed
-                # saddle can push 1-2 true corners out of the candidate
-                # top-K, which otherwise vetoes the whole board. Holes are
-                # filled by homography prediction below; complete windows
-                # always outrank holed ones.
-                if n_missing > 2 or not present:
+                if not present:
                     continue
                 cell_sc = np.array([sc[grid[c]] for c in present])
+                # Cells whose saddle score sits far below the window's own
+                # median are board-boundary / clutter pseudo-corners, not
+                # chessboard corners (measured on the hard-frame bench:
+                # fakes <= 0.32x median, dim-but-true corners >= 0.64x).
+                # Count them as holes: a window shifted onto the board
+                # margin then exceeds the hole tolerance and loses to the
+                # true window, instead of outranking it as "complete".
+                weak = cell_sc < 0.45 * np.median(cell_sc)
+                good = frozenset(
+                    c for c, w in zip(present, weak) if not w
+                )
+                n_missing = len(cells) - len(good)
+                # Tolerate a few holes: a clutter overhang or a dimmed
+                # saddle can push 1-3 true corners out of the candidate
+                # top-K (or below the weak-score cut), which otherwise
+                # vetoes the whole board. Holes are filled by homography
+                # prediction below; complete windows always outrank holed
+                # ones, and shifted windows carry >= 5 pseudo-corners so
+                # the tolerance never admits them.
+                if n_missing > _HOLE_TOLERANCE:
+                    continue
+                good_sc = cell_sc[~weak]
                 windows.append(
                     (
-                        (-n_missing, cell_sc.min(), cell_sc.sum()),
+                        (-n_missing, good_sc.min(), good_sc.sum()),
                         (nr, nc),
                         cells,
+                        good,
                     )
                 )
     windows.sort(key=lambda wdw: wdw[0], reverse=True)
 
-    def fill_holes(cells):
-        """Pixel positions for a window, homography-predicting missing
-        cells from the present ones (plain numpy DLT — this host helper
-        must not dispatch to a device)."""
-        present = [(c, pts[grid[c]]) for c in cells if c in grid]
-        missing = [c for c in cells if c not in grid]
-        if not missing:
-            return np.stack([pts[grid[c]] for c in cells])
+    def fill_holes(cells, good):
+        """Pixel positions for a window, homography-predicting missing or
+        weak (pseudo-corner) cells from the good ones (plain numpy DLT —
+        this host helper must not dispatch to a device)."""
+        present = [(c, pts[grid[c]]) for c in cells if c in good]
+        if len(present) == len(cells):
+            return np.stack([p for _, p in present])
         src = np.array([c for c, _ in present], float)
         dst = np.stack([p for _, p in present])
-        # DLT: rows [x, y, 1, 0, 0, 0, -ux, -uy], [0, 0, 0, x, y, 1, ...]
-        n = len(src)
-        A = np.zeros((2 * n, 9))
-        A[0::2, 0:2] = src
-        A[0::2, 2] = 1
-        A[0::2, 6:8] = -src * dst[:, 0:1]
-        A[0::2, 8] = -dst[:, 0]
-        A[1::2, 3:5] = src
-        A[1::2, 5] = 1
-        A[1::2, 6:8] = -src * dst[:, 1:2]
-        A[1::2, 8] = -dst[:, 1]
-        Hm = np.linalg.svd(A)[2][-1].reshape(3, 3)
+        Hm = _dlt_homography_np(src, dst)
         lookup = dict(present)
         out = []
         for c in cells:
@@ -505,8 +518,8 @@ def order_grid_points(
 
     results = []
     seen_cells = []
-    for _, (nr, nc), cells in windows:
-        uvs = fill_holes(cells)
+    for _, (nr, nc), cells, good in windows:
+        uvs = fill_holes(cells, good)
         uv_grid = uvs.reshape(nr, nc, 2)
         if not smooth_enough(uv_grid):
             continue
@@ -514,10 +527,15 @@ def order_grid_points(
         if cellset in seen_cells:
             continue
         seen_cells.append(cellset)
+        con_grid = np.array([c not in good for c in cells]).reshape(nr, nc)
         if (nr, nc) == (rows, cols):
             # Make axis0 the cols-count axis.
             uv_grid = uv_grid.transpose(1, 0, 2)
-        results.append(uv_grid.reshape(-1, 2))
+            con_grid = con_grid.T
+        if return_masks:
+            results.append((uv_grid.reshape(-1, 2), con_grid.reshape(-1)))
+        else:
+            results.append(uv_grid.reshape(-1, 2))
         if len(results) >= n_windows:
             break
     if n_windows == 1:
@@ -525,7 +543,46 @@ def order_grid_points(
     return results
 
 
-def _grid_smoothness_ok(uv_grid):
+def _dlt_homography_np(src, dst):
+    """Plain-numpy DLT homography src -> dst (host helper; must not
+    dispatch to a device). Rows [x, y, 1, 0, 0, 0, -ux, -uy, -u],
+    [0, 0, 0, x, y, 1, -vx, -vy, -v]."""
+    src = np.asarray(src, float)
+    dst = np.asarray(dst, float)
+    n = len(src)
+    A = np.zeros((2 * n, 9))
+    A[0::2, 0:2] = src
+    A[0::2, 2] = 1
+    A[0::2, 6:8] = -src * dst[:, 0:1]
+    A[0::2, 8] = -dst[:, 0]
+    A[1::2, 3:5] = src
+    A[1::2, 5] = 1
+    A[1::2, 6:8] = -src * dst[:, 1:2]
+    A[1::2, 8] = -dst[:, 1]
+    return np.linalg.svd(A)[2][-1].reshape(3, 3)
+
+
+def _lattice_residuals(uv_grid, constructed=None):
+    """Per-cell residuals (px) of the best global homography
+    canonical-grid -> uv, shape (nr, nc). With ``constructed`` set, the
+    homography is fitted to MEASURED cells only (constructed cells are
+    interpolations — letting them steer the fit would mask a genuinely
+    corrupted measured cell); residuals are still reported for all cells.
+    """
+    nr, nc = uv_grid.shape[:2]
+    src = np.array([(i, j) for i in range(nr) for j in range(nc)], float)
+    dst = uv_grid.reshape(-1, 2).astype(float)
+    if constructed is not None and constructed.any():
+        meas = ~constructed.reshape(-1)
+        Hm = _dlt_homography_np(src[meas], dst[meas])
+    else:
+        Hm = _dlt_homography_np(src, dst)
+    ph = np.concatenate([src, np.ones((len(src), 1))], axis=1) @ Hm.T
+    res = np.linalg.norm(ph[:, :2] / ph[:, 2:] - dst, axis=1)
+    return res.reshape(nr, nc)
+
+
+def _grid_smoothness_ok(uv_grid, constructed=None):
     """Strict post-refinement lattice validity, applied after subpixel
     refinement when the ordering ran on integer NMS peaks. Two tests:
 
@@ -538,33 +595,108 @@ def _grid_smoothness_ok(uv_grid):
        together, the relative bound holds); a clutter-substituted or
        mis-filled corner is a lone outlier (measured: bad corners sit at
        2-3 px residual vs <=0.6 px for genuine grids on hard frames).
+
+    ``constructed`` (optional (nr, nc) bool) marks homography-predicted
+    cells (hole fills / repairs): they are consistent with the lattice by
+    construction, so both criteria apply to MEASURED cells only — a
+    predicted cell sitting ~1.5 px off the global fit (normal under lens
+    distortion + the tight re-refine clamp) must not veto a window whose
+    34 measured corners are clean.
     """
+    con = None
+    if constructed is not None:
+        con = np.asarray(constructed, bool).reshape(uv_grid.shape[:2])
+        if not con.any():
+            con = None
     d0 = np.linalg.norm(np.diff(uv_grid, axis=0), axis=-1)
     d1 = np.linalg.norm(np.diff(uv_grid, axis=1), axis=-1)
     pitch = np.median(np.concatenate([d0.ravel(), d1.ravel()]))
     lim = max(0.15 * pitch, 2.5)
     for ax in (0, 1):
-        d2d = np.diff(uv_grid, n=2, axis=ax)
-        if d2d.size and np.linalg.norm(d2d, axis=-1).max() > lim:
+        d2d = np.linalg.norm(np.diff(uv_grid, n=2, axis=ax), axis=-1)
+        if not d2d.size:
+            continue
+        if con is not None:
+            # A second difference spans 3 consecutive cells; exempt spans
+            # that touch a constructed cell.
+            touches = con[:-2] | con[1:-1] | con[2:] if ax == 0 else (
+                con[:, :-2] | con[:, 1:-1] | con[:, 2:]
+            )
+            d2d = np.where(touches, 0.0, d2d)
+        if d2d.max() > lim:
             return False
+    res = _lattice_residuals(uv_grid, con)
+    if con is None:
+        return res.max() <= max(4.0 * np.median(res), 1.2)
+    med = np.median(res[~con])
+    if res[~con].max() > max(4.0 * med, 1.2):
+        return False
+    # Constructed cells: looser absolute bound (distortion bias of the
+    # global fit + the tight re-refine clamp), but not exempt — a filled
+    # cell whose refinement wandered off in noise must still be caught.
+    return res[con].max() <= max(4.0 * med, 2.5)
 
+
+def _repair_grid(uv_grid, max_outliers=3, constructed=None):
+    """Re-predict lattice-inconsistent cells of a refined grid.
+
+    The dominant hard-frame failure (measured on the detection bench's
+    distorted/vignetted/cluttered views): the CORRECT window is found with
+    34-35/35 true corners, but one cell — a dim corner whose subpixel
+    refinement wandered, or a hole filled by the global homography whose
+    prediction is biased a few px by lens distortion — trips
+    ``_grid_smoothness_ok`` and vetoes the whole board.
+
+    Repair: flag cells whose global-homography residual marks them as lone
+    outliers (same criterion as the validity check), re-predict each from a
+    LOCAL homography fitted to the nearest clean cells (a local fit tracks
+    lens-distortion curvature to first order; the global fit does not), and
+    return the repaired grid for tight re-refinement + re-validation by the
+    caller. ``constructed`` marks cells that were already predictions
+    (hole fills) — they are re-predicted too and excluded from every fit.
+    Returns ``(repaired, bad_mask)`` where ``bad_mask`` includes both the
+    newly flagged and the pre-constructed cells, or None when more than
+    ``max_outliers`` cells are flagged (a genuinely broken window, not a
+    repair candidate).
+    """
+    uv_grid = np.asarray(uv_grid, float)
     nr, nc = uv_grid.shape[:2]
-    src = np.array([(i, j) for i in range(nr) for j in range(nc)], float)
-    dst = uv_grid.reshape(-1, 2).astype(float)
-    n = len(src)
-    A = np.zeros((2 * n, 9))
-    A[0::2, 0:2] = src
-    A[0::2, 2] = 1
-    A[0::2, 6:8] = -src * dst[:, 0:1]
-    A[0::2, 8] = -dst[:, 0]
-    A[1::2, 3:5] = src
-    A[1::2, 5] = 1
-    A[1::2, 6:8] = -src * dst[:, 1:2]
-    A[1::2, 8] = -dst[:, 1]
-    Hm = np.linalg.svd(A)[2][-1].reshape(3, 3)
-    ph = np.concatenate([src, np.ones((n, 1))], axis=1) @ Hm.T
-    res = np.linalg.norm(ph[:, :2] / ph[:, 2:] - dst, axis=1)
-    return res.max() <= max(4.0 * np.median(res), 1.2)
+    con = (
+        np.zeros((nr, nc), bool)
+        if constructed is None
+        else np.asarray(constructed, bool).reshape(nr, nc)
+    )
+    res = _lattice_residuals(uv_grid, con if con.any() else None)
+    meas = ~con
+    med = np.median(res[meas]) if meas.any() else 0.0
+    bad = (res > max(4.0 * med, 1.2)) & meas
+    if not bad.any():
+        # Validity failed on smoothness alone: treat the single
+        # worst-residual measured cell as the outlier.
+        worst = np.where(meas, res, -np.inf)
+        bad = worst >= worst.max()
+    n_bad = int(bad.sum())
+    # ``max_outliers`` bounds NEW bad measured cells; cells that were
+    # already constructed (hole fills) are re-predicted at no evidence
+    # cost — they never carried a measurement. Bound the total so a
+    # window still rests on a solid measured majority.
+    if n_bad == 0 or n_bad > max_outliers or n_bad + int(con.sum()) > 5:
+        return None
+    bad = bad | con
+    repaired = uv_grid.copy()
+    ii, jj = np.mgrid[0:nr, 0:nc]
+    good = ~bad
+    for (bi, bj) in zip(*np.nonzero(bad)):
+        # Nearest clean cells in lattice distance; >= 8 for a stable DLT.
+        dist = np.abs(ii - bi) + np.abs(jj - bj)
+        dist = np.where(good, dist, np.inf)
+        order = np.argsort(dist.ravel())[:10]
+        src = np.stack([ii.ravel()[order], jj.ravel()[order]], axis=-1)
+        dst = uv_grid.reshape(-1, 2)[order]
+        Hm = _dlt_homography_np(src, dst)
+        v = Hm @ np.array([bi, bj, 1.0])
+        repaired[bi, bj] = v[:2] / v[2]
+    return repaired, bad
 
 
 # ---------------------------------------------------------------------------
@@ -772,21 +904,30 @@ def _find_candidates(gray_b, max_candidates, nms_radius):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("win_size",))
+@functools.partial(jax.jit, static_argnames=("win_size", "max_drift"))
 @with_highest_precision
-def _refine_points(gray_b, pts, win_size):
+def _refine_points(gray_b, pts, win_size, max_drift=3.0):
     """Jitted subpixel refinement of explicit points (single-frame path)."""
-    return refine_corners_subpix(gray_b / 255.0, pts, win_size=win_size)
+    return refine_corners_subpix(
+        gray_b / 255.0, pts, win_size=win_size, max_drift=max_drift
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("template_size", "win_size"))
+@functools.partial(
+    jax.jit, static_argnames=("template_size", "win_size", "max_drift")
+)
 @with_highest_precision
-def _refine_and_score(gray_b, grids, template_size, win_size):
+def _refine_and_score(gray_b, grids, template_size, win_size, max_drift=3.0):
     """Fused device stage 2: subpixel-refine the ordered grid corners AND
-    score the four anchor-orientation hypotheses in one dispatch."""
+    score the four anchor-orientation hypotheses in one dispatch.
+    ``max_drift`` tightens the refinement clamp for repaired grids (the
+    repair prediction is already near-true; a loose clamp would let a dim
+    corner's refinement wander off again)."""
     B, gc, gr, _ = grids.shape
     flat = grids.reshape(B, gc * gr, 2).astype(gray_b.dtype)
-    refined = refine_corners_subpix(gray_b / 255.0, flat, win_size=win_size)
+    refined = refine_corners_subpix(
+        gray_b / 255.0, flat, win_size=win_size, max_drift=max_drift
+    )
     grids_r = refined.reshape(B, gc, gr, 2)
     scores4 = _batched_anchor_scores(gray_b, grids_r, template_size)
     return grids_r, scores4
@@ -852,26 +993,62 @@ def detect_chessboard(
     # anchor margin decides which window IS the board).
     wins = order_grid_points(
         cand, sc, board_shape, refined=False,
-        position_jitter=0.5 / scale_factor, n_windows=3,
+        position_jitter=0.5 / scale_factor, n_windows=_N_WINDOW_HYPOTHESES,
+        return_masks=True,
     )
-    best_pick = None  # (margin, uvs, match_scores)
-    for uvs0 in wins:
-        refined_full = _refine_points(
-            gray[None], jnp.asarray(uvs0[None], dtype=jnp.float32), win_size
-        )
-        uvs = np.asarray(refined_full[0])
+
+    def consider(uvs, cmask, best_pick):
+        """Validate + anchor-arbitrate one refined window; returns the
+        updated best_pick, or the accepted uvs directly when reorder=False
+        (signalled by a ('done', uvs) tuple)."""
         if not _grid_smoothness_ok(
-            uvs.reshape(board_shape[1], board_shape[0], 2)
+            uvs.reshape(board_shape[1], board_shape[0], 2), cmask
         ):
-            continue
+            return best_pick
         if not reorder:
-            return uvs
+            return ("done", uvs)
         uvs_r, match_scores, _ = reorder_chessboard_corners(
             image, uvs, board_shape
         )
         margin = match_scores[0] - match_scores[1]
         if best_pick is None or margin > best_pick[0]:
-            best_pick = (margin, uvs_r, match_scores)
+            return (margin, uvs_r, match_scores)
+        return best_pick
+
+    best_pick = None  # (margin, uvs, match_scores)
+    refined_wins = []
+    for uvs0, cmask in wins:
+        refined_full = _refine_points(
+            gray[None], jnp.asarray(uvs0[None], dtype=jnp.float32), win_size
+        )
+        uvs = np.asarray(refined_full[0])
+        refined_wins.append((uvs, cmask))
+        best_pick = consider(uvs, cmask, best_pick)
+        if isinstance(best_pick, tuple) and best_pick[0] == "done":
+            return best_pick[1]
+    if best_pick is None or best_pick[0] < match_score_min_diff:
+        # Repair pass (see _batch_finish): re-predict lone outlier cells
+        # and tightly re-refine — rescues correct windows vetoed for one
+        # drifted/mis-filled corner.
+        for uvs, cmask in refined_wins:
+            rep = _repair_grid(
+                uvs.reshape(board_shape[1], board_shape[0], 2),
+                constructed=cmask,
+            )
+            if rep is None:
+                continue
+            rep_uvs, rep_mask = rep
+            rep_ref = _refine_points(
+                gray[None],
+                jnp.asarray(rep_uvs.reshape(1, -1, 2), dtype=jnp.float32),
+                win_size,
+                max_drift=1.0,
+            )
+            best_pick = consider(
+                np.asarray(rep_ref[0]), rep_mask.reshape(-1), best_pick
+            )
+            if isinstance(best_pick, tuple) and best_pick[0] == "done":
+                return best_pick[1]
     if best_pick is None:
         return None
     if reorder:
@@ -959,7 +1136,12 @@ def _batch_dispatch(images, max_candidates, nms_radius, win_size):
     return gray, xy, score
 
 
-_N_WINDOW_HYPOTHESES = 3
+# 6 (not 3): on hard frames the true window often carries 1-2 candidate
+# holes and is lexicographically outranked by shifted "complete" windows
+# populated with weak boundary corners — measured sitting at rank 4-6.
+# Hypotheses are evaluated lazily (clean frames score only the top one),
+# so the extra slots cost nothing on easy batches.
+_N_WINDOW_HYPOTHESES = 6
 
 
 def _batch_finish(
@@ -990,13 +1172,16 @@ def _batch_finish(
         (np.stack([xs, ys], axis=-1) + 32).astype(np.float64),
         (B, NW, cols, rows, 2),
     ).copy()
+    con = np.zeros((B, NW, cols, rows), bool)  # constructed-cell masks
     n_hyp = np.zeros(B, np.int64)
     for i in range(B):
         wins = order_grid_points(
-            xy[i], score[i], board_shape, refined=False, n_windows=NW
+            xy[i], score[i], board_shape, refined=False, n_windows=NW,
+            return_masks=True,
         )
-        for h, uvs in enumerate(wins):
+        for h, (uvs, mask) in enumerate(wins):
             hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
+            con[i, h] = np.asarray(mask).reshape(cols, rows)
         n_hyp[i] = len(wins)
 
     def score_hyps(hyps_flat, n_rep):
@@ -1014,13 +1199,16 @@ def _batch_finish(
             np.asarray(scores4_d).reshape(B, n_rep, 4),
         )
 
-    def pick(i, grids_i, scores_i, n, out):
-        """Best hypothesis for frame i: strict lattice check, then the
+    def pick(i, grids_i, scores_i, n, out, con_i=None):
+        """Best hypothesis for frame i: strict lattice check (measured
+        cells only when ``con_i`` constructed masks are given), then the
         anchor decision with the largest margin. True = accepted."""
         best_pick = None  # (margin, grid, sorted_scores)
         for h in range(n):
             g = grids_i[h]
-            if not _grid_smoothness_ok(g):
+            if not _grid_smoothness_ok(
+                g, None if con_i is None else con_i[h]
+            ):
                 continue
             if not reorder:
                 # No anchor decision requested: first valid window wins
@@ -1052,15 +1240,80 @@ def _batch_finish(
         i
         for i in range(B)
         if n_hyp[i] > 0
-        and not pick(i, grids1[i], scores1[i], 1, out)
+        and not pick(i, grids1[i], scores1[i], 1, out, con[i, 0:1])
         and n_hyp[i] > 1
     ]
+    grids2 = None
     if retry:
         grids2, scores2 = score_hyps(
             hyp[:, 1:].reshape(B * (NW - 1), cols, rows, 2), NW - 1
         )
         for i in retry:
-            pick(i, grids2[i], scores2[i], int(n_hyp[i]) - 1, out)
+            pick(i, grids2[i], scores2[i], int(n_hyp[i]) - 1, out, con[i, 1:])
+
+    # Repair phase (last resort, failed frames only): the dominant hard-
+    # frame failure is the CORRECT window vetoed by the strict lattice
+    # check because ONE cell is off (dim-corner refinement drift, or a
+    # distortion-biased hole fill). _repair_grid re-predicts the outlier
+    # cells from local homography fits; one fused dispatch tightly
+    # re-refines (max_drift=1.0 — the prediction is already near-true) and
+    # re-scores all repaired grids, then the normal validate-and-arbitrate
+    # pick runs on them. Clean frames never reach this.
+    failed = [i for i in range(B) if n_hyp[i] > 0 and i not in out]
+    if failed:
+        entries = []  # (frame index, repaired grid, constructed mask)
+        for i in failed:
+            cand = [(grids1[i, 0], con[i, 0])]
+            if grids2 is not None:
+                cand += [
+                    (grids2[i, h], con[i, h + 1])
+                    for h in range(int(n_hyp[i]) - 1)
+                ]
+            for g, cmask in cand:
+                rep = _repair_grid(g, constructed=cmask)
+                if rep is not None:
+                    entries.append((i,) + rep)
+        if entries:
+            idx = np.array([e[0] for e in entries])
+            rep_grids = np.stack([e[1] for e in entries])
+            rep_masks = np.stack([e[2] for e in entries])
+            # Pad to the next power of two: a per-count batch shape would
+            # compile a fresh program for every distinct repair count
+            # (minutes each on remote-compiled TPU backends). Padded slots
+            # carry the benign canonical grid and frame index -1, so they
+            # match no frame in the pick loop below.
+            n_pad = max(1 << (len(entries) - 1).bit_length(), 1)
+            if n_pad > len(entries):
+                pad = n_pad - len(entries)
+                filler = (
+                    np.stack(np.mgrid[0:cols, 0:rows][::-1], axis=-1) + 32
+                ).astype(np.float64)
+                rep_grids = np.concatenate(
+                    [rep_grids, np.broadcast_to(filler, (pad,) + filler.shape)]
+                )
+                rep_masks = np.concatenate(
+                    [rep_masks, np.zeros((pad, cols, rows), bool)]
+                )
+                idx = np.concatenate([idx, np.full(pad, -1)])
+            g_sel = jnp.take(
+                gray, jnp.asarray(np.maximum(idx, 0)), axis=0
+            )
+            grids_r, scores_r = _refine_and_score(
+                g_sel,
+                jnp.asarray(rep_grids, gray.dtype),
+                template_size,
+                win_size,
+                max_drift=1.0,
+            )
+            grids_r = np.asarray(grids_r)
+            scores_r = np.asarray(scores_r)
+            for i in failed:
+                rows_i = np.nonzero(idx == i)[0]
+                if len(rows_i):
+                    pick(
+                        i, grids_r[rows_i], scores_r[rows_i], len(rows_i),
+                        out, rep_masks[rows_i],
+                    )
     return out
 
 
