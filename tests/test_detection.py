@@ -433,3 +433,83 @@ class TestWindowRobustness:
         bad = grid.copy()
         bad[3, 2] += (4.0, -3.0)  # one clutter-substituted corner
         assert not _grid_smoothness_ok(bad)
+
+    def test_repair_grid_fixes_lone_outlier(self):
+        """_repair_grid re-predicts a drifted cell from local homography
+        fits: the repaired position lands near the true corner and the
+        returned mask flags exactly that cell."""
+        from multicam_calibration_tpu.detection.detector import (
+            _grid_smoothness_ok,
+            _repair_grid,
+        )
+
+        _, _, uv = self._clean_candidates(seed=4)
+        cols, rows = BOARD[1], BOARD[0]
+        grid = uv.reshape(cols, rows, 2).copy()
+        bad = grid.copy()
+        bad[2, 3] += (3.5, -2.0)  # a dim corner whose refinement wandered
+        assert not _grid_smoothness_ok(bad)
+        rep = _repair_grid(bad)
+        assert rep is not None
+        repaired, mask = rep
+        assert mask.sum() == 1 and mask[2, 3]
+        assert np.linalg.norm(repaired[2, 3] - grid[2, 3]) < 0.5
+        assert _grid_smoothness_ok(repaired, mask)
+
+    def test_repair_grid_refuses_broken_window(self):
+        """More than max_outliers corrupted cells = not a repair candidate."""
+        from multicam_calibration_tpu.detection.detector import _repair_grid
+
+        _, _, uv = self._clean_candidates(seed=5)
+        cols, rows = BOARD[1], BOARD[0]
+        bad = uv.reshape(cols, rows, 2).copy()
+        for k, (i, j) in enumerate([(0, 0), (1, 2), (3, 1), (4, 4), (6, 3)]):
+            bad[i, j] += (3.0 + k, -2.5)
+        assert _repair_grid(bad) is None
+
+    def test_constructed_mask_loosens_validity_for_filled_cells(self):
+        """A ~2 px-off cell vetoes a window when measured, but passes when
+        marked constructed (hole fills carry distortion bias + the tight
+        re-refine clamp by design)."""
+        from multicam_calibration_tpu.detection.detector import (
+            _grid_smoothness_ok,
+        )
+
+        _, _, uv = self._clean_candidates(seed=6)
+        cols, rows = BOARD[1], BOARD[0]
+        grid = uv.reshape(cols, rows, 2).copy()
+        grid[3, 2] += (1.4, 1.2)
+        con = np.zeros((cols, rows), bool)
+        assert not _grid_smoothness_ok(grid, con)
+        con[3, 2] = True
+        assert _grid_smoothness_ok(grid, con)
+        # but constructed cells are bounded, not exempt
+        grid[3, 2] += (4.0, 4.0)
+        assert not _grid_smoothness_ok(grid, con)
+
+    def test_weak_pseudo_corners_counted_as_holes(self):
+        """Cells far below the window's median saddle score (boundary
+        pseudo-corners) count as holes: the returned window replaces them
+        with homography predictions and flags them in the mask."""
+        from multicam_calibration_tpu.detection.detector import (
+            order_grid_points,
+        )
+
+        pts, sc, uv = self._clean_candidates(seed=7)
+        sc = sc.copy()
+        # Make two true-corner candidates look like pseudo-corners (weak
+        # score) at a slightly corrupted position.
+        pts = np.asarray(pts, float)
+        for j in (8, 17):
+            sc[j] = 0.1
+            pts[j] += (2.5, -2.0)
+        got = order_grid_points(
+            pts, sc, BOARD, refined=False, n_windows=2, return_masks=True
+        )
+        assert got, "window should survive weak cells via hole tolerance"
+        uvs, mask = got[0]
+        assert mask.sum() >= 2
+        d = np.linalg.norm(uvs[:, None] - uv[None], axis=-1).min(1)
+        # weak cells were re-predicted from the homography, not taken at
+        # their corrupted positions
+        assert d.max() < 1.5, d.max()
