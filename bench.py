@@ -109,6 +109,7 @@ def main():
         # wall (0.423 -> 0.312 s measured; end-game damping rounds reach a
         # workable lambda in half the tries).
         lambda_escalation=3.0,
+        grad_dtype="float32",
     )
 
     # Warm-up (compile) ...

@@ -221,6 +221,8 @@ def cmd_benchmark(args):
             block_dtype="float32",
             cost_dtype="float32",
             solve_dtype="float32",
+            grad_dtype="float32",
+            lambda_escalation=3.0,
         )
     )
     opts = LMOptions(

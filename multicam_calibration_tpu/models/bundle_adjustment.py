@@ -457,6 +457,10 @@ def bundle_adjust(
                     block_dtype="float32",
                     cost_dtype="float32",
                     solve_dtype="float32",
+                    # Per-observation weighting/gradient products in f32
+                    # (residual still formed in f64): removes the last
+                    # emulated-f64 term of the dominant block-build stage.
+                    grad_dtype="float32",
                     # 26% less wall at the same optimum: end-game damping
                     # rounds reach a workable lambda in half the tries.
                     lambda_escalation=3.0,
@@ -496,6 +500,9 @@ def bundle_adjust(
         cost_dtype=opt_kwargs.get("cost_dtype", default_f32.get("cost_dtype")),
         solve_dtype=opt_kwargs.get(
             "solve_dtype", default_f32.get("solve_dtype")
+        ),
+        grad_dtype=opt_kwargs.get(
+            "grad_dtype", default_f32.get("grad_dtype")
         ),
         lambda_escalation=opt_kwargs.get(
             "lambda_escalation", default_f32.get("lambda_escalation", 1.0)
@@ -606,6 +613,7 @@ def bundle_adjust(
             block_dtype=None,
             cost_dtype=None,
             solve_dtype=None,
+            grad_dtype=None,
             max_iters=10,
         )
         with metrics.timer("ba.f64_polish"):

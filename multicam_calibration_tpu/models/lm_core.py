@@ -115,6 +115,18 @@ class LMOptions:
     # acceptance granularity (~1e-4 relative). Cuts the emulated-f64
     # forward projections (one per damping try) to f32.
     cost_dtype: str | None = None
+    # Precision for the per-observation weighting + gradient PRODUCTS in
+    # the block build. The residual r = obs - pred is still formed in the
+    # data dtype (f64 — the obs-pred cancellation is the precision-critical
+    # step), and the frame-axis reduction of the per-frame gradient
+    # fragments stays in the data dtype (cross-frame cancellation is where
+    # the optimum's ~0 gradient emerges); only the per-observation products
+    # A*w and sum_n A*(r*w) within one frame (N<=~100 terms, ~1e-7 relative
+    # rounding of a correctly-computed f64 residual value) run in this
+    # dtype. On TPU this removes the last per-observation emulated-f64 term
+    # of the dominant block-build stage (measured 97% of iteration wall at
+    # 64 cams x 20k frames).
+    grad_dtype: str | None = None
     # Frames per linearization chunk. None materializes all (C, F) Jacobian
     # blocks in one shot (fastest for small problems). An int bounds peak
     # memory at O(C * frame_chunk * N * 36) transients by lax.scan-ning the
@@ -278,9 +290,13 @@ def build_normal_blocks(
     C = cam_params.shape[0]
     F = pose_params.shape[0]
 
+    data_dtype = cam_params.dtype
+
     def per_cf(cam12, pose6, obs_cf, mask_cf):
+        keep_jac = opts.grad_dtype is not None and opts.jac_dtype is not None
         pred, (A, B) = _value_and_jacs(
-            cam12, pose6, objpoints, jac_dtype=opts.jac_dtype
+            cam12, pose6, objpoints, jac_dtype=opts.jac_dtype,
+            keep_jac_dtype=keep_jac,
         )
         # Mask via where (NOT multiplication): masked-out entries may hold
         # NaN/inf (e.g. padded frames whose pose puts points at z=0), and
@@ -288,20 +304,31 @@ def build_normal_blocks(
         m = mask_cf[..., None]  # (N, 1) -> broadcasts over the uv axis
         r = jnp.where(m, jnp.nan_to_num(obs_cf) - pred, 0.0)  # (N, 2)
         w = jnp.where(m, _robust_weights(r**2, opts), 0.0)  # (N, 2)
-        A = jnp.where(m[..., None], A * w[..., None], 0.0)  # (N, 2, 12)
-        B = jnp.where(m[..., None], B * w[..., None], 0.0)  # (N, 2, 6)
-        rw = r * w
+        cost_cf = _robust_cost(jnp.where(mask_cf[..., None], r**2, 0.0), opts)
+        if opts.grad_dtype is not None:
+            # Per-observation work in grad_dtype: the residual VALUE is
+            # f64-accurate (computed above), only the products round at
+            # ~1e-7 relative; per-frame fragments are cast back and frame-
+            # reduced in the data dtype (see LMOptions.grad_dtype).
+            gd = jnp.dtype(opts.grad_dtype)
+            wg = w.astype(gd)
+            A = jnp.where(m[..., None], A.astype(gd) * wg[..., None], 0.0)
+            B = jnp.where(m[..., None], B.astype(gd) * wg[..., None], 0.0)
+            rw = (r * w).astype(gd)
+        else:
+            A = jnp.where(m[..., None], A * w[..., None], 0.0)  # (N, 2, 12)
+            B = jnp.where(m[..., None], B * w[..., None], 0.0)  # (N, 2, 6)
+            rw = r * w
         # U/V/W in block_dtype (cast back): the approximate-Hessian blocks
-        # tolerate f32 rounding; the gradient einsums below do not and stay
-        # in the data dtype (see LMOptions.block_dtype).
+        # tolerate f32 rounding; the gradient einsums keep the data dtype
+        # unless grad_dtype opts in (see LMOptions.block_dtype/grad_dtype).
         bd = jnp.dtype(opts.block_dtype) if opts.block_dtype else A.dtype
         Ab, Bb = A.astype(bd), B.astype(bd)
-        U_cf = jnp.einsum("nki,nkj->ij", Ab, Ab).astype(A.dtype)
-        V_cf = jnp.einsum("nki,nkj->ij", Bb, Bb).astype(A.dtype)
-        W_cf = jnp.einsum("nki,nkj->ij", Ab, Bb).astype(A.dtype)
-        g_cam_cf = jnp.einsum("nki,nk->i", A, rw)
-        g_pose_cf = jnp.einsum("nki,nk->i", B, rw)
-        cost_cf = _robust_cost(jnp.where(mask_cf[..., None], r**2, 0.0), opts)
+        U_cf = jnp.einsum("nki,nkj->ij", Ab, Ab).astype(data_dtype)
+        V_cf = jnp.einsum("nki,nkj->ij", Bb, Bb).astype(data_dtype)
+        W_cf = jnp.einsum("nki,nkj->ij", Ab, Bb).astype(data_dtype)
+        g_cam_cf = jnp.einsum("nki,nk->i", A, rw).astype(data_dtype)
+        g_pose_cf = jnp.einsum("nki,nk->i", B, rw).astype(data_dtype)
         return U_cf, V_cf, W_cf, g_cam_cf, g_pose_cf, cost_cf
 
     per_f = jax.vmap(per_cf, in_axes=(None, 0, 0, 0))  # over frames
@@ -386,12 +413,15 @@ def build_normal_blocks(
     return NormalBlocks(U=U, V=V_s, W=W_s, g_cam=g_cam, g_pose=gp_s, cost=cost)
 
 
-def _value_and_jacs(cam12, pose6, objpoints, jac_dtype=None):
+def _value_and_jacs(cam12, pose6, objpoints, jac_dtype=None,
+                    keep_jac_dtype=False):
     """Prediction plus Jacobians wrt (cam12, pose6): ((N,2), ((N,2,12),(N,2,6))).
 
     ``jac_dtype`` runs the jacfwd (the 18-tangent bulk of the FLOPs) in a
     lower precision than the prediction; results are cast back to the data
-    dtype (see LMOptions.jac_dtype).
+    dtype (see LMOptions.jac_dtype) unless ``keep_jac_dtype`` — the
+    grad_dtype path consumes them in low precision directly, skipping the
+    (N, 2, 18) cast-to-f64 entirely.
     """
     fun = lambda c, p: project_board_points(c, p, objpoints)
     pred = fun(cam12, pose6)
@@ -401,8 +431,9 @@ def _value_and_jacs(cam12, pose6, objpoints, jac_dtype=None):
         A, B = jax.jacfwd(fun_j, argnums=(0, 1))(
             cam12.astype(jd), pose6.astype(jd)
         )
-        A = A.astype(cam12.dtype)
-        B = B.astype(cam12.dtype)
+        if not keep_jac_dtype:
+            A = A.astype(cam12.dtype)
+            B = B.astype(cam12.dtype)
     else:
         A, B = jax.jacfwd(fun, argnums=(0, 1))(cam12, pose6)
     return pred, (A, B)

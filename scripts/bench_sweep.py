@@ -109,6 +109,7 @@ def main():
             cost_dtype="float32",
             solve_dtype="float32",
             lambda_escalation=3.0,
+            grad_dtype="float32",
             frame_chunk=cfg.get("frame_chunk"),
         )
 

@@ -63,6 +63,7 @@ def main():
         args = args[2:]
     if not cfgs:
         cfgs = [(6, 1000)]
+    frame_chunk = int(os.environ.get("LM_PROFILE_FRAME_CHUNK", "0")) or None
 
     dtype = jnp.float64
     for C, F in cfgs:
@@ -80,19 +81,42 @@ def main():
         obs = jnp.asarray(np.nan_to_num(obs_np), dtype=dtype)
         mask = jnp.asarray(mask_np)
         objp = jnp.asarray(rig.calib_objpoints, dtype=dtype)
-        opts = LMOptions(jac_dtype="float32")
+        # The shipped accelerator recipe (bundle_adjust auto-numerics):
+        # f64 residual/gradient, f32 Jacobians + blocks + Schur + cost.
+        opts = LMOptions(
+            jac_dtype="float32",
+            block_dtype="float32",
+            cost_dtype="float32",
+            solve_dtype="float32",
+            lambda_escalation=3.0,
+            grad_dtype="float32",
+            frame_chunk=frame_chunk,
+        )
         n_obs = int(mask_np.sum())
         print(f"=== {C} cams x {F} frames, {n_obs} obs ===", flush=True)
 
-        jit_blocks = jax.jit(
-            functools.partial(build_normal_blocks, opts=opts)
-        )
+        # Each timed program returns a SCALAR reduction of its outputs: on
+        # this container the host<->device link is a ~24 MB/s remote
+        # tunnel, so returning the block tensors themselves would time the
+        # transfer (hundreds of MB at config 5), not the compute.
+        def blocks_scalar(cam, poses, obs_, mask_, objp_):
+            blocks = build_normal_blocks(cam, poses, obs_, mask_, objp_, opts)
+            return sum(jnp.sum(leaf) for leaf in jax.tree.leaves(blocks)
+                       if jnp.issubdtype(leaf.dtype, jnp.floating))
+
+        jit_blocks = jax.jit(blocks_scalar)
         t_blocks = time_fn(jit_blocks, cam0, poses0, obs, mask, objp)
         print(f"build_normal_blocks: {t_blocks*1e3:9.2f} ms", flush=True)
 
-        blocks = jit_blocks(cam0, poses0, obs, mask, objp)
-        jax_tree_materialize(blocks)
-        jit_schur = jax.jit(functools.partial(schur_solve, opts=opts))
+        blocks = jax.jit(functools.partial(build_normal_blocks, opts=opts))(
+            cam0, poses0, obs, mask, objp
+        )
+
+        def schur_scalar(blocks_, lam):
+            dcam, dpose = schur_solve(blocks_, lam, opts=opts)
+            return jnp.sum(dcam) + jnp.sum(dpose)
+
+        jit_schur = jax.jit(schur_scalar)
         t_schur = time_fn(jit_schur, blocks, 1e-4)
         print(f"schur_solve:         {t_schur*1e3:9.2f} ms", flush=True)
 
