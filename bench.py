@@ -110,6 +110,7 @@ def main():
         # workable lambda in half the tries).
         lambda_escalation=3.0,
         grad_dtype="float32",
+        gtol_rel=1e-6,
     )
 
     # Warm-up (compile) ...

@@ -222,6 +222,7 @@ def cmd_benchmark(args):
             cost_dtype="float32",
             solve_dtype="float32",
             grad_dtype="float32",
+            gtol_rel=1e-6,
             lambda_escalation=3.0,
         )
     )

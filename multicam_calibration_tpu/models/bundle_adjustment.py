@@ -461,6 +461,12 @@ def bundle_adjust(
                     # (residual still formed in f64): removes the last
                     # emulated-f64 term of the dominant block-build stage.
                     grad_dtype="float32",
+                    # Stop when the gradient has contracted 6 orders: the
+                    # end-game otherwise polishes gnorm for ~9 extra
+                    # iterations per solve at unchanged cost (the ftol
+                    # patience never accrues there — every round needs
+                    # 2+ damping tries).
+                    gtol_rel=1e-6,
                     # 26% less wall at the same optimum: end-game damping
                     # rounds reach a workable lambda in half the tries.
                     lambda_escalation=3.0,
@@ -503,6 +509,9 @@ def bundle_adjust(
         ),
         grad_dtype=opt_kwargs.get(
             "grad_dtype", default_f32.get("grad_dtype")
+        ),
+        gtol_rel=opt_kwargs.get(
+            "gtol_rel", default_f32.get("gtol_rel", 0.0)
         ),
         lambda_escalation=opt_kwargs.get(
             "lambda_escalation", default_f32.get("lambda_escalation", 1.0)

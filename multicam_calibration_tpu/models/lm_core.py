@@ -67,6 +67,16 @@ class LMOptions:
     max_tries: int = 10  # damping retries per outer iteration
     ftol: float = 1e-4
     gtol: float = 1e-12
+    # RELATIVE gradient stop: done when grad_norm < gtol_rel * grad_norm at
+    # the first linearization. 0.0 disables. The ftol patience only counts
+    # steps accepted at the first damping try (see the easy_step comment in
+    # lm_solve) — correct mid-descent, but in the END-GAME every round
+    # needs 2+ tries, so the optimizer polishes the gradient for many extra
+    # iterations (measured 9 of 21 on the bench problem chasing gnorm
+    # 25 -> 0.006 with the cost already at the f64 optimum). The gradient
+    # contracts ~6 orders from its initial value by then; 1e-6 stops there
+    # while being unreachable mid-descent.
+    gtol_rel: float = 0.0
     init_lambda: float = 1e-4
     lambda_up: float = 5.0
     # Escalation of the rejection multiplier WITHIN a damping round: the
@@ -147,6 +157,7 @@ class LMState(NamedTuple):
     done: jnp.ndarray  # convergence flag
     slow_steps: jnp.ndarray  # consecutive sub-ftol easy steps (patience)
     grad_norm: jnp.ndarray  # gradient norm at the last linearization
+    grad0: jnp.ndarray  # gradient norm at the FIRST linearization (<0 unset)
     nfev: jnp.ndarray  # cumulative cost evaluations (scipy nfev analogue)
     # Per-iteration trace (max_iters, 6): cost, grad_norm, step_norm,
     # lambda, damping tries, relative cost drop — scipy verbose=2 parity
@@ -704,9 +715,12 @@ def lm_solve(
         exhausted = (~accepted) & (lam_next >= opts.max_lambda)
         slow = easy_step & (rel_drop < opts.ftol)
         slow_steps = jnp.where(slow, state.slow_steps + 1, 0)
+        grad0 = jnp.where(state.grad0 < 0, grad_norm, state.grad0)
         done = exhausted | (slow_steps >= opts.ftol_patience) | (
             grad_norm < opts.gtol
         )
+        if opts.gtol_rel > 0:
+            done = done | (grad_norm < opts.gtol_rel * grad0)
         step_sq = jnp.sum((cam_n - state.cam_params) ** 2)
         pose_sq = jnp.sum((poses_n - state.pose_params) ** 2)
         if axis_name is not None:
@@ -725,7 +739,7 @@ def lm_solve(
         )
         return LMState(
             cam_n, poses_n, lam_next, cost_n, state.it + 1, done, slow_steps,
-            grad_norm, state.nfev + tries_used, hist,
+            grad_norm, grad0, state.nfev + tries_used, hist,
         )
 
     def outer_cond(state: LMState):
@@ -744,6 +758,7 @@ def lm_solve(
         done=jnp.zeros((), bool),
         slow_steps=jnp.zeros((), jnp.int32),
         grad_norm=jnp.zeros((), dtype),
+        grad0=jnp.full((), -1.0, dtype),
         nfev=jnp.ones((), jnp.int32),  # the initial cost evaluation
         hist=jnp.zeros((opts.max_iters, len(HIST_FIELDS)), dtype),
     )

@@ -110,6 +110,7 @@ def main():
             solve_dtype="float32",
             lambda_escalation=3.0,
             grad_dtype="float32",
+            gtol_rel=1e-6,
             frame_chunk=cfg.get("frame_chunk"),
         )
 
