@@ -86,6 +86,11 @@ class RollingCalibrator:
                 block_dtype="float32",
                 cost_dtype="float32",
                 solve_dtype="float32",
+                # Per-obs weighting/gradient products in f32 (residual
+                # still formed f64): the block build dominates each
+                # fixed-iteration update.
+                grad_dtype="float32",
+                lambda_escalation=3.0,
             )
         self._opts = lm_options or LMOptions(
             max_iters=int(iters_per_update), ftol=0.0, **f32_extras
