@@ -279,32 +279,13 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
 _HOLE_TOLERANCE = 3
 
 
-def order_grid_points(
-    candidates, scores, board_shape, pitch_tol=0.35, refined=True,
-    position_jitter=0.5, n_windows=1, return_masks=False,
-):
-    """Assemble the (rows x cols) chessboard lattice from corner candidates.
-
-    Grid growth with local step prediction (handles perspective): seed at
-    the strongest candidate, discover its lattice neighbors, then BFS
-    outward predicting each next vertex from its two predecessors along the
-    row/column. Pure numpy on <=128 points — this combinatorial step is the
-    one part of detection that does not belong on the accelerator.
-
-    Returns uvs (rows*cols, 2) ordered row-major (orientation arbitrary up
-    to flips/transpose — resolved later by anchor matching), or None.
-    With ``return_masks=True``, each window comes as ``(uvs, constructed)``
-    where ``constructed`` is a (rows*cols,) bool marking cells that were
-    homography-predicted (holes / weak pseudo-corners) rather than measured
-    — downstream validation exempts them from the outlier criteria.
-    """
-    rows, cols = board_shape
-    n_needed = rows * cols
-    _empty = None if n_windows == 1 else []
-    pts = np.asarray(candidates, dtype=float)
-    sc = np.asarray(scores, dtype=float)
-    if len(pts) < n_needed:
-        return _empty
+def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
+    """Score-filter, dedup, pitch estimate, and seeded BFS lattice growth —
+    the numpy reference path (also the parity oracle for the C++ port in
+    native/src/lattice.cc). Returns ``(pts, sc, pitch, grid)``: the deduped
+    candidates in descending-score order (the index space of ``grid``'s
+    values) and the grown lattice dict, or ``grid=None`` when no lattice
+    was found."""
     # True corners score in a tight band well above clutter (saddle response
     # is contrast-normalized in practice); threshold relative to the n-th
     # strongest so the cut adapts to the scene.
@@ -313,7 +294,7 @@ def order_grid_points(
     pts = pts[keep]
     sc = sc[keep]
     if len(pts) < n_needed:
-        return _empty
+        return pts, sc, 0.0, None
 
     # Deduplicate: subpixel refinement can collapse two distinct NMS peaks
     # onto the same corner (observed sub-px pairs on cluttered frames); a
@@ -333,7 +314,7 @@ def order_grid_points(
     pts = P[alive]
     sc = sc[order_sc][alive]
     if len(pts) < n_needed:
-        return _empty
+        return pts, sc, 0.0, None
 
     # Pairwise distances; lattice pitch ~ median nearest-neighbor distance.
     d2 = d2s[np.ix_(alive, alive)]
@@ -424,6 +405,47 @@ def order_grid_points(
         grid = grow_from(int(seed))
         if grid is not None:
             break
+    return pts, sc, pitch, grid
+
+
+def _grow_lattice(pts, sc, n_needed, pitch_tol):
+    """Native (C++) lattice growth when the runtime is available, numpy
+    otherwise — identical results (tests/test_native_lattice.py)."""
+    from . import native_lattice
+
+    res = native_lattice.grow_lattice(pts, sc, n_needed, pitch_tol)
+    if res is not None:
+        return res
+    return _grow_lattice_numpy(pts, sc, n_needed, pitch_tol)
+
+
+def order_grid_points(
+    candidates, scores, board_shape, pitch_tol=0.35, refined=True,
+    position_jitter=0.5, n_windows=1, return_masks=False,
+):
+    """Assemble the (rows x cols) chessboard lattice from corner candidates.
+
+    Grid growth with local step prediction (handles perspective): seed at
+    the strongest candidate, discover its lattice neighbors, then BFS
+    outward predicting each next vertex from its two predecessors along the
+    row/column. Pure numpy on <=128 points — this combinatorial step is the
+    one part of detection that does not belong on the accelerator.
+
+    Returns uvs (rows*cols, 2) ordered row-major (orientation arbitrary up
+    to flips/transpose — resolved later by anchor matching), or None.
+    With ``return_masks=True``, each window comes as ``(uvs, constructed)``
+    where ``constructed`` is a (rows*cols,) bool marking cells that were
+    homography-predicted (holes / weak pseudo-corners) rather than measured
+    — downstream validation exempts them from the outlier criteria.
+    """
+    rows, cols = board_shape
+    n_needed = rows * cols
+    _empty = None if n_windows == 1 else []
+    pts = np.asarray(candidates, dtype=float)
+    sc = np.asarray(scores, dtype=float)
+    if len(pts) < n_needed:
+        return _empty
+    pts, sc, pitch, grid = _grow_lattice(pts, sc, n_needed, pitch_tol)
     if grid is None:
         return _empty
 
@@ -444,7 +466,11 @@ def order_grid_points(
             for j0 in range(jmin, jmax - nc + 2):
                 cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
                 present = [c for c in cells if c in grid]
-                if not present:
+                # Cheap early-out: weak-counting below only ever INCREASES
+                # the number of holes, so windows already over the
+                # tolerance skip the score/median work (this loop
+                # enumerates hundreds of positions on clutter-grown grids).
+                if len(cells) - len(present) > _HOLE_TOLERANCE:
                     continue
                 cell_sc = np.array([sc[grid[c]] for c in present])
                 # Cells whose saddle score sits far below the window's own
@@ -686,11 +712,15 @@ def _repair_grid(uv_grid, max_outliers=3, constructed=None):
     repaired = uv_grid.copy()
     ii, jj = np.mgrid[0:nr, 0:nc]
     good = ~bad
+    if good.sum() < 8:  # too few clean cells for a stable local DLT
+        return None
     for (bi, bj) in zip(*np.nonzero(bad)):
-        # Nearest clean cells in lattice distance; >= 8 for a stable DLT.
+        # Nearest clean cells in lattice distance; argsort is truncated to
+        # the good cells so inf-distance (bad) cells can never pad the fit
+        # on small boards.
         dist = np.abs(ii - bi) + np.abs(jj - bj)
         dist = np.where(good, dist, np.inf)
-        order = np.argsort(dist.ravel())[:10]
+        order = np.argsort(dist.ravel())[: min(10, int(good.sum()))]
         src = np.stack([ii.ravel()[order], jj.ravel()[order]], axis=-1)
         dst = uv_grid.reshape(-1, 2)[order]
         Hm = _dlt_homography_np(src, dst)
@@ -913,6 +943,17 @@ def _refine_points(gray_b, pts, win_size, max_drift=3.0):
     )
 
 
+def _refine_and_score_impl(gray_b, grids, template_size, win_size, max_drift):
+    B, gc, gr, _ = grids.shape
+    flat = grids.reshape(B, gc * gr, 2).astype(gray_b.dtype)
+    refined = refine_corners_subpix(
+        gray_b / 255.0, flat, win_size=win_size, max_drift=max_drift
+    )
+    grids_r = refined.reshape(B, gc, gr, 2)
+    scores4 = _batched_anchor_scores(gray_b, grids_r, template_size)
+    return grids_r, scores4
+
+
 @functools.partial(
     jax.jit, static_argnames=("template_size", "win_size", "max_drift")
 )
@@ -923,14 +964,25 @@ def _refine_and_score(gray_b, grids, template_size, win_size, max_drift=3.0):
     ``max_drift`` tightens the refinement clamp for repaired grids (the
     repair prediction is already near-true; a loose clamp would let a dim
     corner's refinement wander off again)."""
-    B, gc, gr, _ = grids.shape
-    flat = grids.reshape(B, gc * gr, 2).astype(gray_b.dtype)
-    refined = refine_corners_subpix(
-        gray_b / 255.0, flat, win_size=win_size, max_drift=max_drift
+    return _refine_and_score_impl(
+        gray_b, grids, template_size, win_size, max_drift
     )
-    grids_r = refined.reshape(B, gc, gr, 2)
-    scores4 = _batched_anchor_scores(gray_b, grids_r, template_size)
-    return grids_r, scores4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("template_size", "win_size", "max_drift")
+)
+@with_highest_precision
+def _refine_and_score_at(
+    gray_all, idx, grids, template_size, win_size, max_drift=3.0
+):
+    """_refine_and_score over frames selected by ``idx`` from the full
+    batch — the gather runs INSIDE the jitted program (an eager gather on
+    the remote TPU backend costs ~20 s/op; CLAUDE.md environment rules)."""
+    return _refine_and_score_impl(
+        jnp.take(gray_all, idx, axis=0), grids, template_size, win_size,
+        max_drift,
+    )
 
 
 def _subpix_win(subpix_winSize):
@@ -988,9 +1040,10 @@ def detect_chessboard(
     cand = np.asarray(xy[0]) / scale_factor
     sc = np.asarray(score[0])
 
-    # Up to 3 window hypotheses (see _batch_finish: under hard lighting a
-    # clutter- or boundary-aligned window can out-score the board; the
-    # anchor margin decides which window IS the board).
+    # Up to _N_WINDOW_HYPOTHESES window hypotheses (see _batch_finish:
+    # under hard lighting a clutter- or boundary-aligned window can
+    # out-score the board; the anchor margin decides which window IS the
+    # board).
     wins = order_grid_points(
         cand, sc, board_shape, refined=False,
         position_jitter=0.5 / scale_factor, n_windows=_N_WINDOW_HYPOTHESES,
@@ -1295,11 +1348,9 @@ def _batch_finish(
                     [rep_masks, np.zeros((pad, cols, rows), bool)]
                 )
                 idx = np.concatenate([idx, np.full(pad, -1)])
-            g_sel = jnp.take(
-                gray, jnp.asarray(np.maximum(idx, 0)), axis=0
-            )
-            grids_r, scores_r = _refine_and_score(
-                g_sel,
+            grids_r, scores_r = _refine_and_score_at(
+                gray,
+                jnp.asarray(np.maximum(idx, 0)),
                 jnp.asarray(rep_grids, gray.dtype),
                 template_size,
                 win_size,

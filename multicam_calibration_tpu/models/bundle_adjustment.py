@@ -519,19 +519,19 @@ def bundle_adjust(
         frame_chunk=opt_kwargs.get("frame_chunk", None),
     )
 
-    def _solve(cam_in, poses_in, chunk_opts, init_lam=None):
+    def _solve(cam_in, poses_in, chunk_opts, init_lam=None, init_grad0=None):
         if mesh is not None:
             from ..parallel.sharded import sharded_lm_solve
 
             return sharded_lm_solve(
                 cam_in, poses_in, obs, mask, objpoints_j, chunk_opts,
-                mesh=mesh, init_lam=init_lam,
+                mesh=mesh, init_lam=init_lam, init_grad0=init_grad0,
             )
         # lm_solve is itself jitted with a module-level cache (keyed on
         # shapes + opts), so repeated calls don't recompile.
         return lm_solve(
             cam_in, poses_in, obs, mask, objpoints_j, chunk_opts,
-            init_lam=init_lam,
+            init_lam=init_lam, init_grad0=init_grad0,
         )
 
     with metrics.timer(
@@ -546,6 +546,18 @@ def bundle_adjust(
             every = int(checkpoint_every or 10)
             it_done = int(ckpt["it_done"]) if ckpt is not None else 0
             lam = float(ckpt["lam"]) if ckpt is not None else None
+            # grad0 anchors the gtol_rel stop to the FIRST linearization of
+            # the whole optimization — each resumed chunk must not re-base
+            # it on its own (already-contracted) starting gradient.
+            # ("grad0" membership guards resume from pre-grad0 checkpoints;
+            # -1.0 is the "unset" sentinel both on disk and in lm_solve.)
+            grad0 = (
+                float(ckpt["grad0"])
+                if ckpt is not None and "grad0" in ckpt
+                else None
+            )
+            if grad0 is not None and grad0 < 0:
+                grad0 = None
             cam, poses = cam0_j, poses0_j
             first_cost = (
                 float(ckpt["initial_cost"]) if ckpt is not None else None
@@ -559,9 +571,13 @@ def bundle_adjust(
                 chunk_opts = dataclasses.replace(
                     opts, max_iters=min(every, opts.max_iters - it_done)
                 )
-                cam, poses, info = _solve(cam, poses, chunk_opts, init_lam=lam)
+                cam, poses, info = _solve(
+                    cam, poses, chunk_opts, init_lam=lam, init_grad0=grad0
+                )
                 it_done += int(info["n_iters"])
                 lam = float(info["lambda"])
+                if "grad0" in info:
+                    grad0 = float(info["grad0"])
                 if first_cost is None:
                     first_cost = float(info["initial_cost"])
                 # Atomic write: a kill mid-savez must not corrupt the file
@@ -575,6 +591,7 @@ def bundle_adjust(
                     it_done=it_done,
                     use_frames=np.asarray(use_frames),
                     initial_cost=first_cost,
+                    grad0=-1.0 if grad0 is None else grad0,
                     n_cameras=n_cameras,
                     n_total_frames=all_calib_uvs.shape[1],
                     fingerprint=fingerprint,

@@ -333,7 +333,9 @@ def build_normal_blocks(
         # U/V/W in block_dtype (cast back): the approximate-Hessian blocks
         # tolerate f32 rounding; the gradient einsums keep the data dtype
         # unless grad_dtype opts in (see LMOptions.block_dtype/grad_dtype).
-        bd = jnp.dtype(opts.block_dtype) if opts.block_dtype else A.dtype
+        # block_dtype=None means the DATA dtype even when grad_dtype has
+        # downcast A/B — the two options are independent contracts.
+        bd = jnp.dtype(opts.block_dtype) if opts.block_dtype else data_dtype
         Ab, Bb = A.astype(bd), B.astype(bd)
         U_cf = jnp.einsum("nki,nkj->ij", Ab, Ab).astype(data_dtype)
         V_cf = jnp.einsum("nki,nkj->ij", Bb, Bb).astype(data_dtype)
@@ -615,6 +617,7 @@ def lm_solve(
     pose_free=None,
     axis_name=None,
     init_lam=None,
+    init_grad0=None,
 ):
     """Run the full LM loop; returns (cam, poses, info dict).
 
@@ -624,7 +627,10 @@ def lm_solve(
     Works identically single-device or inside shard_map with ``axis_name``
     set to the frame mesh axis. ``init_lam`` (traced) overrides
     ``opts.init_lambda`` so a checkpointed run resumes with its saved
-    damping without recompiling.
+    damping without recompiling; ``init_grad0`` likewise carries the
+    FIRST linearization's gradient norm across checkpoint chunks so the
+    ``gtol_rel`` stop measures contraction from the true start of the
+    optimization, not of each resumed segment.
     """
     dtype = cam_params.dtype
     cost0 = compute_cost(
@@ -758,7 +764,11 @@ def lm_solve(
         done=jnp.zeros((), bool),
         slow_steps=jnp.zeros((), jnp.int32),
         grad_norm=jnp.zeros((), dtype),
-        grad0=jnp.full((), -1.0, dtype),
+        grad0=(
+            jnp.full((), -1.0, dtype)
+            if init_grad0 is None
+            else jnp.asarray(init_grad0, dtype)
+        ),
         nfev=jnp.ones((), jnp.int32),  # the initial cost evaluation
         hist=jnp.zeros((opts.max_iters, len(HIST_FIELDS)), dtype),
     )
@@ -771,6 +781,7 @@ def lm_solve(
         "converged": final.done,
         "optimality": final.grad_norm,  # scipy OptimizeResult.optimality
         "nfev": final.nfev,
+        "grad0": final.grad0,
         "history": final.hist,  # (max_iters, 6), rows [:n_iters] valid
     }
     return final.cam_params, final.pose_params, info

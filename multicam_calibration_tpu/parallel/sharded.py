@@ -21,7 +21,9 @@ __all__ = ["sharded_lm_solve"]
 
 
 @functools.lru_cache(maxsize=32)
-def _build_sharded_solver(mesh, opts, axis_name, with_cam_free, with_init_lam):
+def _build_sharded_solver(
+    mesh, opts, axis_name, with_cam_free, with_init_lam, with_init_grad0
+):
     """Cached jitted shard_map solver (keyed by mesh + options)."""
 
     def local_solve(cam, poses, obs_l, mask_l, objp, cam_free, init_lam):
@@ -30,6 +32,7 @@ def _build_sharded_solver(mesh, opts, axis_name, with_cam_free, with_init_lam):
             cam_free=cam_free if with_cam_free else None,
             axis_name=axis_name,
             init_lam=init_lam[0] if with_init_lam else None,
+            init_grad0=init_lam[1] if with_init_grad0 else None,
         )
 
     fn = jax.shard_map(
@@ -55,6 +58,7 @@ def sharded_lm_solve(
     axis_name="frames",
     cam_free=None,
     init_lam=None,
+    init_grad0=None,
 ):
     """Run lm_solve with frames sharded over ``mesh[axis_name]``.
 
@@ -78,13 +82,19 @@ def sharded_lm_solve(
         )
 
     solver = _build_sharded_solver(
-        mesh, opts, axis_name, cam_free is not None, init_lam is not None
+        mesh, opts, axis_name, cam_free is not None, init_lam is not None,
+        init_grad0 is not None,
     )
     cam_free_arg = (
         cam_free if cam_free is not None else jnp.ones_like(cam_params)
     )
-    init_lam_arg = jnp.full(
-        (1,), init_lam if init_lam is not None else opts.init_lambda,
+    # Packed (init_lam, init_grad0) scalar pair (replicated); unset slots
+    # carry benign values that the with_* switches ignore.
+    init_lam_arg = jnp.asarray(
+        [
+            init_lam if init_lam is not None else opts.init_lambda,
+            init_grad0 if init_grad0 is not None else -1.0,
+        ],
         cam_params.dtype,
     )
     cam, poses, info = solver(

@@ -77,6 +77,27 @@ def test_resume_from_checkpoint(problem, tmp_path):
     assert resumed[4]["final_cost"] <= partial[4]["final_cost"] + 1e-9
 
 
+def test_checkpoint_carries_grad0_anchor(problem, tmp_path):
+    """The gtol_rel stop is anchored to the FIRST linearization's gradient
+    norm; a resumed run must inherit that anchor from the checkpoint, not
+    re-base it on its own (already-contracted) starting gradient."""
+    rig, ext, intr, poses = problem
+    ck = str(tmp_path / "g0.npz")
+    mct.bundle_adjust(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        verbose=False, checkpoint_path=ck, checkpoint_every=2, max_iters=2,
+    )
+    saved = dict(np.load(ck))
+    assert "grad0" in saved and float(saved["grad0"]) > 0
+    resumed = mct.bundle_adjust(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        verbose=False, checkpoint_path=ck, checkpoint_every=5,
+    )
+    assert np.isclose(
+        float(resumed[4]["grad0"]), float(saved["grad0"]), rtol=1e-6
+    )
+
+
 def test_checkpoint_fingerprint_mismatch_raises(problem, tmp_path):
     """Same-shaped but different data must not silently resume (ADVICE r1)."""
     rig, ext, intr, poses = problem
