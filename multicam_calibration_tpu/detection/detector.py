@@ -302,7 +302,11 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
     # Greedy keep-strongest within a 3 px radius, vectorized: walk points in
     # score order and mask out everything a kept point suppresses (the
     # per-pair Python genexpr here was the hottest line of the host stage).
-    order_sc = np.argsort(-sc)
+    # Stable sorts throughout: NMS candidates are integer pixel positions,
+    # so exact distance/score ties happen; unstable tie-breaking made the
+    # grown lattice orientation depend on quicksort partitioning (and
+    # diverge from the C++ port, which sorts stably).
+    order_sc = np.argsort(-sc, kind="stable")
     P = pts[order_sc]
     d2s = np.sum((P[:, None] - P[None, :]) ** 2, axis=-1)
     n = len(P)
@@ -335,10 +339,12 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
     # vertices); clutter can still land there, so retry growth from the next
     # few seeds before giving up.
     centroid = pts.mean(0)
-    seed_order = np.argsort(np.sum((pts - centroid) ** 2, axis=-1))
+    seed_order = np.argsort(
+        np.sum((pts - centroid) ** 2, axis=-1), kind="stable"
+    )
 
     def grow_from(seed):
-        order = np.argsort(d2[seed])
+        order = np.argsort(d2[seed], kind="stable")
         v1 = pts[order[0]] - pts[seed]
         v2 = None
         for j in order[1:6]:
@@ -352,7 +358,24 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
         if v2 is None:
             return None
 
-        grid = {(0, 0): seed, (1, 0): order[0]}
+        grid = {(0, 0): seed, (1, 0): int(order[0])}
+        # Virtual vertices: a lattice cell with no candidate (a hole —
+        # dimmed saddle, occlusion, weak pseudo-corner filtered by the
+        # score cut) must not BLOCK the BFS, or the reachable region —
+        # and hence whether the board survives at all — depends on which
+        # side of the hole the growth happened to start from (observed:
+        # identical candidates grew 33 cells from one seed-neighbor
+        # tie-break and 30 from the other). When no candidate matches, we
+        # place a scaffold vertex at the predicted position and keep
+        # growing through it; scaffolds never chain (a new scaffold needs
+        # a REAL extrapolation predecessor), which bounds them to one ring
+        # past the real lattice. They are dropped from the returned grid —
+        # downstream window scoring counts them as holes as before.
+        vpos = {}  # (i, j) -> predicted position of scaffold cells
+
+        def pos(idx, cell):
+            return pts[idx] if idx >= 0 else vpos[cell]
+
         used_mask[:] = False
         used_mask[seed] = used_mask[order[0]] = True
         j2, _ = nearest(pts[seed] + v2, pitch_tol * pitch * 2)
@@ -376,7 +399,7 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
                     p1 = grid.get((i, j))
                     p0 = grid.get((i - di, j - dj))
                     if p0 is not None:
-                        pred = 2 * pts[p1] - pts[p0]
+                        pred = 2 * pos(p1, (i, j)) - pos(p0, (i - di, j - dj))
                     else:
                         # Parallel step copied from a neighbor row.
                         pred = None
@@ -384,7 +407,10 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
                             a = grid.get((i + oi, j + oj))
                             b = grid.get((i + oi + di, j + oj + dj))
                             if a is not None and b is not None:
-                                pred = pts[p1] + (pts[b] - pts[a])
+                                pred = pos(p1, (i, j)) + (
+                                    pos(b, (i + oi + di, j + oj + dj))
+                                    - pos(a, (i + oi, j + oj))
+                                )
                                 break
                         if pred is None:
                             continue
@@ -393,12 +419,19 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
                         grid[tgt] = cand
                         used_mask[cand] = True
                         new_frontier.append(tgt)
+                    elif p1 >= 0:
+                        # No candidate: scaffold through the hole (only
+                        # from a real predecessor — scaffolds don't chain).
+                        grid[tgt] = -1
+                        vpos[tgt] = pred
+                        new_frontier.append(tgt)
             frontier = new_frontier
+        real = {c: idx for c, idx in grid.items() if idx >= 0}
         # Up to _HOLE_TOLERANCE lattice holes are tolerated downstream
         # (window cells filled by homography prediction) — requiring a full
         # n_needed here would veto exactly the grids the hole tolerance
         # exists for.
-        return grid if len(grid) >= n_needed - _HOLE_TOLERANCE else None
+        return real if len(real) >= n_needed - _HOLE_TOLERANCE else None
 
     grid = None
     for seed in seed_order[:5]:

@@ -165,10 +165,22 @@ int mccl_order_candidates(const double* pts_in, const double* sc_in, int n_in,
   };
 
   using Grid = std::unordered_map<Key, int, KeyHash>;
+  using VPos = std::unordered_map<Key, P2, KeyHash>;
+  // Scaffold vertices (idx == -1, position in vpos): a lattice hole must
+  // not block the BFS — growth continues through a predicted position so
+  // the reachable region does not depend on which side of the hole the
+  // seed landed. Scaffolds never chain (a new scaffold requires a REAL
+  // extrapolation predecessor) and are dropped from the output grid;
+  // mirrors detector.py _grow_lattice_numpy.
+  VPos vpos;
   auto grow_from = [&](int seed, Grid& grid,
                        std::vector<Key>& order_added) -> bool {
     grid.clear();
     order_added.clear();
+    vpos.clear();
+    auto pos = [&](int idx, const Key& cell) -> P2 {
+      return idx >= 0 ? pts[idx] : vpos.at(cell);
+    };
     // Distance-sorted neighbors of the seed.
     std::vector<int> order;
     order.reserve(n - 1);
@@ -221,21 +233,24 @@ int mccl_order_candidates(const double* pts_in, const double* sc_in, int n_in,
           const Key tgt{f.i + d[0], f.j + d[1]};
           if (grid.count(tgt)) continue;
           const int p1 = grid.at(f);
+          const P2 q1 = pos(p1, f);
           P2 pred;
-          auto it0 = grid.find({f.i - d[0], f.j - d[1]});
+          const Key k0{f.i - d[0], f.j - d[1]};
+          auto it0 = grid.find(k0);
           if (it0 != grid.end()) {
-            const int p0 = it0->second;
-            pred = {2 * pts[p1].x - pts[p0].x, 2 * pts[p1].y - pts[p0].y};
+            const P2 q0 = pos(it0->second, k0);
+            pred = {2 * q1.x - q0.x, 2 * q1.y - q0.y};
           } else {
             bool found = false;
             const int par[2][2] = {{d[1], d[0]}, {-d[1], -d[0]}};
             for (const auto& o : par) {
-              auto ia = grid.find({f.i + o[0], f.j + o[1]});
-              auto ib = grid.find({f.i + o[0] + d[0], f.j + o[1] + d[1]});
+              const Key ka{f.i + o[0], f.j + o[1]};
+              const Key kb{f.i + o[0] + d[0], f.j + o[1] + d[1]};
+              auto ia = grid.find(ka);
+              auto ib = grid.find(kb);
               if (ia != grid.end() && ib != grid.end()) {
-                const int a = ia->second, b = ib->second;
-                pred = {pts[p1].x + pts[b].x - pts[a].x,
-                        pts[p1].y + pts[b].y - pts[a].y};
+                const P2 qa = pos(ia->second, ka), qb = pos(ib->second, kb);
+                pred = {q1.x + qb.x - qa.x, q1.y + qb.y - qa.y};
                 found = true;
                 break;
               }
@@ -246,12 +261,21 @@ int mccl_order_candidates(const double* pts_in, const double* sc_in, int n_in,
           if (cand >= 0) {
             put(tgt, cand);
             next.push_back(tgt);
+          } else if (p1 >= 0) {
+            // Hole: scaffold through it (only from a real predecessor —
+            // scaffolds do not chain).
+            grid.emplace(tgt, -1);
+            vpos.emplace(tgt, pred);
+            next.push_back(tgt);
           }
         }
       }
       frontier.swap(next);
     }
-    return (int)grid.size() >= n_needed - kHoleTolerance;
+    int n_real = 0;
+    for (const auto& kv : grid)
+      if (kv.second >= 0) ++n_real;
+    return n_real >= n_needed - kHoleTolerance;
   };
 
   Grid grid;
