@@ -29,6 +29,11 @@ SEED = 11
 def main():
     import jax
 
+    if os.environ.get("MCC_BENCH_FORCE_CPU"):
+        # Last-resort fallback after repeated remote-TPU backend failures
+        # (see __main__): record an honest CPU result rather than none.
+        jax.config.update("jax_platforms", "cpu")
+
     # f64 end-to-end: the damped BA system needs f64 step accuracy to reach
     # the reference's cost basin reliably — f32 trajectories stall at
     # compile-dependent shelves of the soft-L1 valley (observed 6x final-
@@ -244,5 +249,42 @@ def main():
     )
 
 
+def _is_transient(exc):
+    """Remote-TPU (axon) failures that a fresh process may not hit again:
+    backend setup/compile UNAVAILABLE, dropped tunnel connections, compile
+    service deadlines. Observed intermittently on this rig."""
+    msg = f"{type(exc).__name__}: {exc}"
+    needles = (
+        "UNAVAILABLE",
+        "Unavailable",
+        "backend setup",
+        "Unable to initialize backend",
+        "DEADLINE",
+        "Connection",
+        "Socket closed",
+    )
+    return any(n in msg for n in needles)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - last line of defense for the bench
+        if not _is_transient(e):
+            raise
+        attempt = int(os.environ.get("MCC_BENCH_ATTEMPT", "0"))
+        sys.stderr.write(
+            f"bench: transient backend failure (attempt {attempt}): {e}\n"
+        )
+        if attempt < 3:
+            # Re-exec: JAX caches a failed backend for the process lifetime,
+            # so a retry needs a fresh interpreter.
+            time.sleep(20.0 * (attempt + 1))
+            os.environ["MCC_BENCH_ATTEMPT"] = str(attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        elif not os.environ.get("MCC_BENCH_FORCE_CPU"):
+            sys.stderr.write("bench: falling back to CPU backend\n")
+            os.environ["MCC_BENCH_FORCE_CPU"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        else:
+            raise
