@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.homography import fit_homography, apply_homography, warp_perspective
+from ..ops.homography import (
+    fit_homography,
+    apply_homography,
+    inv3x3,
+    warp_perspective,
+)
 from ..ops.precision import with_highest_precision
 from ..ops.transforms import euclidean_to_homogenous, homogeneous_to_euclidean
 
@@ -600,6 +605,248 @@ def order_grid_points(
     if n_windows == 1:
         return results[0] if results else None
     return results
+
+
+# ---------------------------------------------------------------------------
+# Device fast-path lattice ordering
+# ---------------------------------------------------------------------------
+#
+# The host BFS in order_grid_points is the one sequential stage of the batch
+# pipeline (~0.8 ms/frame native) and forces a device->host->device round
+# trip between candidate finding and grid refinement. For EASY frames — one
+# complete board, no holes, no weak pseudo-corners — the lattice can instead
+# be recovered entirely on device with data-parallel algebra: seed an affine
+# basis from the centroid candidate's two lattice neighbors, then iterate
+# (assign every candidate an integer lattice coordinate through H^-1, refit
+# H by weighted DLT over the inliers). No BFS: the assignment is global, so
+# holes cannot block growth and every frame in the batch runs in lockstep.
+# Frames the fast path cannot certify (ok=False: incomplete window, weak
+# cells, rough lattice) fall back to the host path unchanged; the
+# acceptance rules below mirror order_grid_points' exactly so a certified
+# fast window is the same window the host would have produced.
+
+_FAST_ITERS = 4  # homography refit rounds (affine -> projective)
+
+
+def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
+    """Order ONE frame's candidates on device; returns (uv (cols, rows, 2),
+    ok). Candidates ``xy``/``sc`` come from find_corner_candidates (scores
+    sorted descending, empty slots score 0 at position (0, 0)). Mirrors the
+    host path's candidate filtering (0.35x score cut, 3 px greedy dedup,
+    median-NN pitch) and acceptance (complete window, no weak cells by the
+    0.45x-median rule, second-difference smoothness); ok=False otherwise."""
+    K = xy.shape[0]
+    n_needed = rows * cols
+    f = xy.dtype
+    idxk = jnp.arange(K)
+    smax = 2 * max(rows, cols) + 5  # lattice-coord grid span (static)
+    off = smax // 2
+
+    # Candidate filtering (host parity: _grow_lattice_numpy).
+    ref_score = sc[n_needed - 1]
+    valid = (sc > 0) & (sc > 0.35 * ref_score)
+    d2_all = jnp.sum((xy[:, None] - xy[None, :]) ** 2, -1)
+
+    def dedup_body(a, al):
+        # Greedy keep-strongest within 3 px, in score order (slots are
+        # already score-sorted): candidate a, if still alive, suppresses
+        # every later candidate within radius.
+        return al & ~(al[a] & (d2_all[a] <= 9.0) & (idxk > a))
+
+    alive = lax.fori_loop(0, K, dedup_body, valid)
+    n_valid = jnp.sum(alive)
+
+    pair = alive[:, None] & alive[None, :] & ~jnp.eye(K, dtype=bool)
+    d2 = jnp.where(pair, d2_all, jnp.inf)
+    nnd = jnp.sqrt(jnp.min(d2, axis=1))
+    snn = jnp.sort(jnp.where(alive, nnd, jnp.inf))
+    lo = jnp.clip((n_valid - 1) // 2, 0, K - 1)
+    hi = jnp.clip(n_valid // 2, 0, K - 1)
+    pitch = 0.5 * (snn[lo] + snn[hi])
+
+    # Seed at the candidate closest to the cloud centroid; basis vectors
+    # from its nearest neighbour (v1) and the first of the next five
+    # neighbours at > ~45 degrees (v2) — grow_from parity.
+    w = alive.astype(f)
+    centroid = (xy * w[:, None]).sum(0) / jnp.maximum(w.sum(), 1.0)
+    seed = jnp.argmin(jnp.where(alive, jnp.sum((xy - centroid) ** 2, -1), jnp.inf))
+    p0 = xy[seed]
+    nb = jnp.argsort(d2[seed])
+    v1 = xy[nb[0]] - p0
+    vc = xy[nb[1:6]] - p0
+    cosang = jnp.abs(vc @ v1) / (
+        jnp.linalg.norm(vc, axis=1) * jnp.linalg.norm(v1) + 1e-30
+    )
+    okv2 = (cosang < 0.7) & jnp.isfinite(d2[seed][nb[1:6]])
+    has_v2 = jnp.any(okv2)
+    v2 = vc[jnp.argmax(okv2)]
+
+    zero = jnp.zeros((), f)
+    one = jnp.ones((), f)
+    H0 = jnp.stack(
+        [
+            jnp.stack([v1[0], v2[0], p0[0]]),
+            jnp.stack([v1[1], v2[1], p0[1]]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+    tol = 0.35 * pitch  # BFS admission tolerance (pitch_tol parity)
+    ph = jnp.concatenate([xy, jnp.ones((K, 1), f)], 1)
+
+    def assign(H):
+        """Integer lattice coords for every candidate under H, with the
+        pixel-space residual of the rounded cell's prediction."""
+        lp = ph @ inv3x3(H).T
+        c = jnp.round(lp[:, :2] / lp[:, 2:])
+        q = jnp.concatenate([c, jnp.ones((K, 1), f)], 1) @ H.T
+        resid = jnp.linalg.norm(xy - q[:, :2] / q[:, 2:], axis=-1)
+        inrange = jnp.all(jnp.abs(c) <= off - 1, axis=1)
+        return c, resid, alive & inrange & (resid < tol)
+
+    def refit(H, c, inl):
+        """Weighted normalized DLT (h33=1) lattice-ints -> pixels; SPD
+        8x8 normal equations solved by Cholesky (no LU: TPU f64 gap)."""
+        wgt = inl.astype(f)
+        nw = jnp.maximum(wgt.sum(), one)
+        cm = (c * wgt[:, None]).sum(0) / nw
+        pm = (xy * wgt[:, None]).sum(0) / nw
+        cs = jnp.sqrt((((c - cm) ** 2) * wgt[:, None]).sum() / nw) + 1e-6
+        ps = jnp.sqrt((((xy - pm) ** 2) * wgt[:, None]).sum() / nw) + 1e-6
+        i_, j_ = ((c - cm) / cs).T
+        x_, y_ = ((xy - pm) / ps).T
+        z = jnp.zeros_like(i_)
+        o = jnp.ones_like(i_)
+        Ax = jnp.stack([i_, j_, o, z, z, z, -i_ * x_, -j_ * x_], 1)
+        Ay = jnp.stack([z, z, z, i_, j_, o, -i_ * y_, -j_ * y_], 1)
+        A = jnp.concatenate([Ax, Ay], 0)
+        b = jnp.concatenate([x_, y_], 0)
+        ww = jnp.concatenate([wgt, wgt], 0)[:, None]
+        AtA = (A * ww).T @ A + 1e-7 * jnp.eye(8, dtype=f)
+        h = jax.scipy.linalg.cho_solve(
+            (jnp.linalg.cholesky(AtA), True), (A * ww).T @ b
+        )
+        Hn = jnp.concatenate([h, jnp.ones((1,), f)]).reshape(3, 3)
+        # Denormalize: pixels = T_p @ Hn @ T_l @ lattice.
+        Tl = jnp.stack(
+            [
+                jnp.stack([one / cs, zero, -cm[0] / cs]),
+                jnp.stack([zero, one / cs, -cm[1] / cs]),
+                jnp.stack([zero, zero, one]),
+            ]
+        )
+        Tp = jnp.stack(
+            [
+                jnp.stack([ps, zero, pm[0]]),
+                jnp.stack([zero, ps, pm[1]]),
+                jnp.stack([zero, zero, one]),
+            ]
+        )
+        Hd = Tp @ Hn @ Tl
+        return Hd / Hd[2, 2]
+
+    def it_body(_, H):
+        c, _, inl = assign(H)
+        # Refit only with a healthy inlier count; a degenerate round keeps
+        # the previous H (its assignment simply yields no complete window).
+        return jnp.where(jnp.sum(inl) >= 8, refit(H, c, inl), H)
+
+    H = lax.fori_loop(0, _FAST_ITERS, it_body, H0)
+    c, resid, inl = assign(H)
+
+    # Cell contention: strongest score wins a cell (residual tiebreak).
+    ci = jnp.clip((c[:, 0] + off).astype(jnp.int32), 0, smax - 1)
+    cj = jnp.clip((c[:, 1] + off).astype(jnp.int32), 0, smax - 1)
+    flat = ci * smax + cj
+    key = jnp.where(inl, sc - 1e-6 * resid, -jnp.inf)
+    cell_best = jnp.full((smax * smax,), -jnp.inf, f).at[flat].max(key)
+    winner = inl & (key >= cell_best[flat])
+    cell_idx = (
+        jnp.full((smax * smax,), -1, jnp.int32)
+        .at[flat]
+        .max(jnp.where(winner, idxk.astype(jnp.int32), -1))
+    )
+    occ = (cell_idx >= 0).reshape(smax, smax)
+    sc_cell = jnp.where(
+        cell_idx >= 0, sc[jnp.clip(cell_idx, 0)], 0.0
+    ).reshape(smax, smax)
+
+    # Rank all window placements in both orientations: complete windows
+    # only, by (min cell score, total score) — order_grid_points parity via
+    # key = min + eps * sum, normalized by the frame's top score.
+    mref = jnp.maximum(sc[0], 1e-12)
+
+    def windows(nr, nc):
+        cnt = lax.reduce_window(
+            occ.astype(f), zero, lax.add, (nr, nc), (1, 1), "VALID"
+        )
+        mn = lax.reduce_window(
+            jnp.where(occ, sc_cell, jnp.inf), jnp.asarray(jnp.inf, f),
+            lax.min, (nr, nc), (1, 1), "VALID",
+        )
+        sm = lax.reduce_window(sc_cell, zero, lax.add, (nr, nc), (1, 1), "VALID")
+        return jnp.where(
+            cnt >= n_needed - 0.5,
+            mn / mref + 1e-3 * sm / (n_needed * mref),
+            -jnp.inf,
+        )
+
+    key_a = windows(cols, rows)  # orientation A first: host scan order
+    key_b = windows(rows, cols)
+    flatkeys = jnp.concatenate([key_a.reshape(-1), key_b.reshape(-1)])
+    bi = jnp.argmax(flatkeys)
+    found = flatkeys[bi] > -jnp.inf
+    na = key_a.size
+    is_a = bi < na
+    wa = smax - rows + 1  # key_a row width
+    wb = smax - cols + 1
+    bia = jnp.clip(bi, 0, na - 1)
+    bib = jnp.clip(bi - na, 0, key_b.size - 1)
+    grid2 = cell_idx.reshape(smax, smax)
+    sel_a = lax.dynamic_slice(grid2, (bia // wa, bia % wa), (cols, rows))
+    sel_b = lax.dynamic_slice(grid2, (bib // wb, bib % wb), (rows, cols)).T
+    cell_sel = jnp.where(is_a, sel_a, sel_b)  # (cols, rows), axis0 = cols
+    uv = xy[jnp.clip(cell_sel, 0)]
+
+    # Weak-cell rule (0.45x window median) — any weak cell means the host
+    # would have treated it as a hole, so the fast path defers.
+    wsc = jnp.sort(sc[jnp.clip(cell_sel, 0)].reshape(-1))
+    med = 0.5 * (wsc[(n_needed - 1) // 2] + wsc[n_needed // 2])
+    no_weak = wsc[0] >= 0.45 * med
+
+    # Unrefined-lattice smoothness (order_grid_points' smooth_enough).
+    lim = jnp.maximum(0.15 * pitch, 2.5) + 4.0 * position_jitter
+    smooth = jnp.asarray(True)
+    if cols >= 3:
+        dd = uv[2:] - 2 * uv[1:-1] + uv[:-2]
+        smooth &= jnp.linalg.norm(dd, axis=-1).max() <= lim
+    if rows >= 3:
+        dd = uv[:, 2:] - 2 * uv[:, 1:-1] + uv[:, :-2]
+        smooth &= jnp.linalg.norm(dd, axis=-1).max() <= lim
+
+    ok = (
+        (n_valid >= n_needed)
+        & has_v2
+        & found
+        & no_weak
+        & smooth
+        & jnp.isfinite(pitch)
+        & (pitch > 3.0)
+        & jnp.all(cell_sel >= 0)
+    )
+    # Benign canonical grid for rejected frames (keeps downstream batched
+    # refinement finite; discarded on host).
+    ys_c, xs_c = jnp.mgrid[0:cols, 0:rows]
+    canon = (jnp.stack([xs_c, ys_c], axis=-1) + 32).astype(f)
+    return jnp.where(ok, uv, canon), ok
+
+
+def _order_grids_device(xy_b, sc_b, rows, cols, position_jitter=0.5):
+    """Batched device lattice ordering: (B, K, 2), (B, K) -> (uv (B, cols,
+    rows, 2), ok (B,))."""
+    return jax.vmap(
+        lambda x, s: _order_grid_device_one(x, s, rows, cols, position_jitter)
+    )(xy_b, sc_b)
 
 
 def _dlt_homography_np(src, dst):
@@ -1202,24 +1449,69 @@ def detect_chessboard_batch(
     B = len(images)
     if B == 0:
         return {}
-    stage1 = _batch_dispatch(images, max_candidates, nms_radius, win_size)
+    stage1 = _batch_dispatch(
+        images, max_candidates, nms_radius, win_size,
+        board_shape=board_shape, template_size=template_size,
+    )
     return _batch_finish(
         stage1, B, board_shape, reorder, match_score_min_diff, template_size,
         win_size,
     )
 
 
-def _batch_dispatch(images, max_candidates, nms_radius, win_size):
-    """Dispatch device stage 1 (gray + fused response/NMS + top-K) for a
-    batch; returns DEVICE arrays (gray, xy, score) without blocking — JAX
-    async dispatch lets the device/transfer work proceed while the host
-    orders the previous batch (see detect_chessboard_batches). ``win_size``
-    is threaded through to stage 2 via _batch_finish."""
-    del win_size
+def _batch_dispatch(
+    images, max_candidates, nms_radius, win_size, board_shape=None,
+    template_size=40,
+):
+    """Dispatch device stage 1 for a batch; returns DEVICE arrays without
+    blocking — JAX async dispatch lets the device/transfer work proceed
+    while the host orders the previous batch (detect_chessboard_batches).
+
+    With ``board_shape`` given, stage 1 is the FUSED fast-path program
+    (response/NMS/top-K + device lattice ordering + refine + anchor scores
+    in one dispatch): frames it certifies need no further device round
+    trips at all. Without it, the legacy (gray, xy, score) stage for
+    callers that only want candidates."""
     frames = np.stack([np.asarray(im) for im in images])
     gray = _gray_from_u8(jnp.asarray(frames))
-    xy, score = _find_candidates(gray, max_candidates, nms_radius)
-    return gray, xy, score
+    if board_shape is None:
+        xy, score = _find_candidates(gray, max_candidates, nms_radius)
+        return gray, xy, score
+    rows, cols = board_shape
+    return (gray,) + tuple(
+        _stage1_fast(
+            gray, max_candidates, nms_radius, rows, cols, template_size,
+            win_size,
+        )
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+@with_highest_precision
+def _order_grids_jit(xy_b, sc_b, rows, cols):
+    return _order_grids_device(xy_b, sc_b, rows, cols)
+
+
+def _stage1_fast(
+    gray_b, max_candidates, nms_radius, rows, cols, template_size, win_size
+):
+    """Device stage 1 of the fast path: candidates + device lattice
+    ordering + subpixel refinement + anchor scores for every frame's
+    fast-path window. Certified frames (ok=True) skip host ordering AND
+    the stage-2 dispatch; the rest fall back to the host path using
+    (xy, score) as before.
+
+    Three chained jit calls rather than one fused program: JAX async
+    dispatch queues them back-to-back with no host sync (a single logical
+    dispatch on remote devices), while keeping each program in the form
+    XLA already compiles well — the monolithic fusion measured ~20% SLOWER
+    on XLA:CPU than the sum of its parts."""
+    xy, score = _find_candidates(gray_b, max_candidates, nms_radius)
+    grids, ok = _order_grids_jit(xy, score, rows, cols)
+    grids_r, scores4 = _refine_and_score(
+        gray_b, grids.astype(gray_b.dtype), template_size, win_size
+    )
+    return xy, score, grids_r, scores4, ok
 
 
 # 6 (not 3): on hard frames the true window often carries 1-2 candidate
@@ -1245,30 +1537,14 @@ def _batch_finish(
     hypothesis with the best anchor margin among those passing the strict
     post-refinement lattice check.
     """
-    gray, xy_d, score_d = stage1
-    xy = np.asarray(xy_d)
-    score = np.asarray(score_d)
+    fast = len(stage1) == 6
+    if fast:
+        gray, xy_d, score_d, fast_uv_d, fast_sc4_d, fast_ok_d = stage1
+    else:
+        gray, xy_d, score_d = stage1
 
     NW = _N_WINDOW_HYPOTHESES
     cols, rows = board_shape[1], board_shape[0]
-    # Invalid slots get a benign canonical grid so the batched refine +
-    # homography solves stay finite (their outputs are discarded on host).
-    ys, xs = np.mgrid[0:cols, 0:rows]
-    hyp = np.broadcast_to(
-        (np.stack([xs, ys], axis=-1) + 32).astype(np.float64),
-        (B, NW, cols, rows, 2),
-    ).copy()
-    con = np.zeros((B, NW, cols, rows), bool)  # constructed-cell masks
-    n_hyp = np.zeros(B, np.int64)
-    for i in range(B):
-        wins = order_grid_points(
-            xy[i], score[i], board_shape, refined=False, n_windows=NW,
-            return_masks=True,
-        )
-        for h, (uvs, mask) in enumerate(wins):
-            hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
-            con[i, h] = np.asarray(mask).reshape(cols, rows)
-        n_hyp[i] = len(wins)
 
     def score_hyps(hyps_flat, n_rep):
         """One fused refine + anchor-score dispatch over n_rep hypotheses
@@ -1316,16 +1592,63 @@ def _batch_finish(
             return True
         return False
 
+    # Fast-path frames first: their windows were ordered, refined and
+    # anchor-scored inside stage 1, so acceptance costs zero further device
+    # work (on clean batches that is every frame — ONE dispatch total).
+    # Frames the device declined (ok=False) or whose fast window fails the
+    # strict pick fall back to the host ordering below, a strict superset
+    # of the pre-fast-path behavior.
+    out = {}
+    if fast:
+        fast_ok = np.asarray(fast_ok_d)
+        fallback = []
+        if fast_ok.any():
+            fast_uv = np.asarray(fast_uv_d)
+            fast_sc4 = np.asarray(fast_sc4_d)
+        for i in range(B):
+            if not (
+                fast_ok[i]
+                and pick(i, fast_uv[i][None], fast_sc4[i][None], 1, out)
+            ):
+                fallback.append(i)
+    else:
+        fallback = list(range(B))
+
+    # Host lattice ordering for the fallback frames only (xy/score are
+    # downloaded lazily — an all-fast batch transfers nothing but the
+    # refined grids and flags).
+    ys, xs = np.mgrid[0:cols, 0:rows]
+    hyp = np.broadcast_to(
+        (np.stack([xs, ys], axis=-1) + 32).astype(np.float64),
+        (B, NW, cols, rows, 2),
+    ).copy()
+    con = np.zeros((B, NW, cols, rows), bool)  # constructed-cell masks
+    n_hyp = np.zeros(B, np.int64)
+    if fallback:
+        xy = np.asarray(xy_d)
+        score = np.asarray(score_d)
+        for i in fallback:
+            wins = order_grid_points(
+                xy[i], score[i], board_shape, refined=False, n_windows=NW,
+                return_masks=True,
+            )
+            for h, (uvs, mask) in enumerate(wins):
+                hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
+                con[i, h] = np.asarray(mask).reshape(cols, rows)
+            n_hyp[i] = len(wins)
+    if not any(n_hyp):
+        return out
+
     # Lazy hypothesis evaluation: the top-ranked window is right on clean
     # frames, so score it alone first (one dispatch); only when some frame
     # rejects it do the remaining hypotheses get their own (single) fused
     # dispatch. Clean batches never pay the multi-hypothesis cost.
-    out = {}
     grids1, scores1 = score_hyps(hyp[:, 0], 1)
     retry = [
         i
         for i in range(B)
         if n_hyp[i] > 0
+        and i not in out
         and not pick(i, grids1[i], scores1[i], 1, out, con[i, 0:1])
         and n_hyp[i] > 1
     ]
@@ -1449,7 +1772,10 @@ def detect_chessboard_batches(
         cur = None
         if len(images):
             cur = (
-                _batch_dispatch(images, max_candidates, nms_radius, win_size),
+                _batch_dispatch(
+                    images, max_candidates, nms_radius, win_size,
+                    board_shape=board_shape, template_size=template_size,
+                ),
                 len(images),
             )
         if prev is not None:

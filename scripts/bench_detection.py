@@ -119,8 +119,8 @@ def main():
 
     from multicam_calibration_tpu.detection.detector import (
         _batch_finish,
-        _find_candidates,
         _gray_from_u8,
+        _stage1_fast,
     )
 
     dbatch = 128
@@ -140,7 +140,9 @@ def main():
     # One-step lookahead like the production pipeline: next round's stage 1
     # dispatched before this round's host ordering.
     def dr_stage1(g):
-        return (g,) + tuple(_find_candidates(g, 160, 4))
+        # Fast-path stage 1 (candidates + device lattice ordering + refine
+        # + anchor scores): certified frames need no further device work.
+        return (g,) + tuple(_stage1_fast(g, 160, 4, BOARD[0], BOARD[1], 40, 5))
 
     def dr_finish(s1):
         return _batch_finish(s1, dbatch, BOARD, True, 0.2, 40, 5)

@@ -513,3 +513,114 @@ class TestWindowRobustness:
         # weak cells were re-predicted from the homography, not taken at
         # their corrupted positions
         assert d.max() < 1.5, d.max()
+
+
+class TestDeviceFastPath:
+    """The fused stage-1 device lattice ordering (detector._order_grids_device):
+    certified (ok=True) windows must be EXACTLY the window the host BFS
+    would produce, and uncertifiable frames must defer (ok=False) rather
+    than emit a wrong grid."""
+
+    def _stack(self, n, hard=False, **kw):
+        frames, gts = [], []
+        for k in range(n):
+            rng = np.random.default_rng(200 + k)
+            H = random_view_homography(rng, board_shape=BOARD)
+            v, gt = render_board_view(
+                H, out_size=(480, 640), board_shape=BOARD, noise=2.0,
+                seed=k, **(HARD_KW if hard else kw)
+            )
+            frames.append(np.asarray(v).astype(np.uint8))
+            gts.append(gt)
+        return np.stack(frames), gts
+
+    def _order_both(self, stack):
+        import jax
+        import jax.numpy as jnp
+        from multicam_calibration_tpu.detection.detector import (
+            _find_candidates,
+            _gray_from_u8,
+            _order_grids_device,
+        )
+
+        gray = _gray_from_u8(jnp.asarray(stack))
+        xy_d, sc_d = _find_candidates(gray, 160, 4)
+        rows, cols = BOARD
+        uvf, okf = jax.jit(
+            lambda x, s: _order_grids_device(x, s, rows, cols)
+        )(xy_d, sc_d)
+        return np.asarray(xy_d), np.asarray(sc_d), np.asarray(uvf), np.asarray(okf)
+
+    def _assert_certified_match_host(self, xy, sc, uvf, okf):
+        from multicam_calibration_tpu.detection.detector import (
+            order_grid_points,
+        )
+
+        n_checked = 0
+        for i in range(len(okf)):
+            if not okf[i]:
+                continue
+            host = order_grid_points(
+                xy[i], sc[i], BOARD, refined=False, n_windows=1
+            )
+            assert host is not None, f"frame {i}: fast ok but host found none"
+            fu = np.asarray(uvf[i].reshape(-1, 2), float)
+            hu = np.asarray(host, float)
+            o1 = np.lexsort((fu[:, 1], fu[:, 0]))
+            o2 = np.lexsort((hu[:, 1], hu[:, 0]))
+            assert np.allclose(fu[o1], hu[o2]), f"frame {i}: window mismatch"
+            n_checked += 1
+        return n_checked
+
+    def test_clean_frames_all_certified_and_match_host(self):
+        stack, _ = self._stack(8)
+        xy, sc, uvf, okf = self._order_both(stack)
+        assert okf.all(), f"clean frames must all take the fast path: {okf}"
+        assert self._assert_certified_match_host(xy, sc, uvf, okf) == 8
+
+    def test_distorted_frames_certified_and_match_host(self):
+        stack, gts = self._stack(8, camera_matrix=K_TEST, dist_coefs=DIST_TEST)
+        xy, sc, uvf, okf = self._order_both(stack)
+        assert okf.sum() >= 6, f"distorted frames should mostly certify: {okf}"
+        self._assert_certified_match_host(xy, sc, uvf, okf)
+        # certified windows land on the distorted GT corners
+        for i in np.nonzero(okf)[0]:
+            d = np.linalg.norm(
+                uvf[i].reshape(-1, 2)[:, None] - gts[i][None], axis=-1
+            )
+            assert d.min(1).max() < 4.0
+
+    def test_hard_frames_certified_subset_matches_host(self):
+        stack, _ = self._stack(12, hard=True)
+        xy, sc, uvf, okf = self._order_both(stack)
+        # hard frames may defer — but every certification must be right
+        self._assert_certified_match_host(xy, sc, uvf, okf)
+
+    def test_occluded_frames_defer(self):
+        stack, _ = self._stack(6, occlusion_px=30)
+        xy, sc, uvf, okf = self._order_both(stack)
+        from multicam_calibration_tpu.detection.detector import (
+            order_grid_points,
+        )
+
+        for i in np.nonzero(okf)[0]:
+            # any certified occluded frame must still agree with the host
+            host = order_grid_points(
+                xy[i], sc[i], BOARD, refined=False, n_windows=1
+            )
+            assert host is not None
+
+    def test_batch_results_match_per_frame_path(self):
+        """detect_chessboard_batch (fast path live) agrees with the
+        single-frame host path on clean frames."""
+        stack, _ = self._stack(6)
+        batch = mct.detect_chessboard_batch(list(stack), board_shape=BOARD)
+        for i, frame in enumerate(stack):
+            single = mct.detect_chessboard(frame, board_shape=BOARD)
+            assert (i in batch) == (single is not None)
+            if single is not None:
+                np.testing.assert_allclose(
+                    np.asarray(batch[i][0], float),
+                    np.asarray(single[0], float),
+                    atol=0.3,
+                )
