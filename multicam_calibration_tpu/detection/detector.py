@@ -1144,6 +1144,40 @@ def _batched_anchor_scores(gray_b, grids_b, template_size=40):
     )(gray_b, exts)
 
 
+def _normalize_local(gray_b, sigma=20.0):
+    """Local contrast normalization: (g - mu_local) / (sd_local + eps),
+    rescaled to [0, 255]. The anchor correlation detrends a LINEAR ramp
+    per region (_anchor_match_scores_impl), but vignetting is quadratic —
+    under hard lighting the residual shading washes the 4-anchor margin
+    below the decision threshold on frames whose grid is otherwise
+    perfect. Normalizing flattens the lighting field entirely; this is
+    the working equivalent of the reference's ``normalize_image`` cv2 flag
+    (detection.py:369-373)."""
+    k = _gaussian_kernel1d(
+        jnp.asarray(sigma, gray_b.dtype), int(2.5 * sigma), gray_b.dtype
+    )
+    mu = _conv2d_separable(gray_b, k)
+    var = _conv2d_separable(gray_b * gray_b, k) - mu * mu
+    sd = jnp.sqrt(jnp.maximum(var, 0.0))
+    eps = 0.05 * jnp.mean(sd, axis=(-2, -1), keepdims=True)
+    out = (gray_b - mu) / (sd + eps)
+    lo = out.min(axis=(-2, -1), keepdims=True)
+    hi = out.max(axis=(-2, -1), keepdims=True)
+    return (out - lo) / jnp.maximum(hi - lo, 1e-6) * 255.0
+
+
+_normalize_single = jax.jit(_normalize_local)
+
+
+@functools.partial(jax.jit, static_argnames=("template_size",))
+@with_highest_precision
+def _anchor_scores_normalized_at(gray_all, idx, grids, template_size):
+    """Anchor scores over frames ``idx`` on locally NORMALIZED grays (the
+    gather and normalization run inside the jitted program)."""
+    g = _normalize_local(jnp.take(gray_all, idx, axis=0))
+    return _batched_anchor_scores(g, grids, template_size)
+
+
 @jax.jit
 def _gray_from_u8(frames):
     """uint8 (B, H, W) or (B, H, W, 3) frames -> float32 grayscale batch."""
@@ -1297,12 +1331,14 @@ def detect_chessboard(
     Reference-parity signature and return convention (detection.py:300-405):
     returns ``(uvs (N,2), match_scores (4,))`` when ``reorder=True`` (or
     None if no board / ambiguous anchor), else ``uvs`` or None.
-    ``adaptive_threshold`` / ``normalize_image`` are accepted for parity
-    (the saddle response is intensity-offset invariant by construction; see
-    tests/test_detection.py lighting-gradient tests). ``board_shape`` is
-    (rows, cols) as in the reference.
+    ``adaptive_threshold`` is accepted for parity (the saddle response is
+    intensity-offset invariant by construction; see tests/test_detection.py
+    lighting-gradient tests); ``normalize_image`` gates the
+    normalized-anchor rescue for hard-lighting frames (the working
+    equivalent of the reference's cv2 flag, detection.py:369-373).
+    ``board_shape`` is (rows, cols) as in the reference.
     """
-    del adaptive_threshold, normalize_image  # parity args; response is invariant
+    del adaptive_threshold  # parity arg; response is offset invariant
     win_size = _subpix_win(subpix_winSize)
     gray = _to_gray_f(image)
     if scale_factor != 1:
@@ -1345,7 +1381,7 @@ def detect_chessboard(
         )
         margin = match_scores[0] - match_scores[1]
         if best_pick is None or margin > best_pick[0]:
-            return (margin, uvs_r, match_scores)
+            return (margin, uvs_r, match_scores, uvs)
         return best_pick
 
     best_pick = None  # (margin, uvs, match_scores)
@@ -1385,8 +1421,18 @@ def detect_chessboard(
     if best_pick is None:
         return None
     if reorder:
-        margin, uvs_r, match_scores = best_pick
+        margin, uvs_r, match_scores, uvs_raw = best_pick
         if margin < match_score_min_diff:
+            # Normalized-anchor rescue (see _batch_finish): quadratic
+            # shading (vignette) survives the per-region linear detrend
+            # and can wash out the margin on an otherwise perfect grid.
+            if normalize_image and margin >= 0.4 * match_score_min_diff:
+                g_norm = np.asarray(_normalize_single(gray[None]))[0]
+                uvs_n, scores_n, _ = reorder_chessboard_corners(
+                    g_norm, uvs_raw, board_shape
+                )
+                if scores_n[0] - scores_n[1] >= match_score_min_diff:
+                    return uvs_n, scores_n
             return None
         return uvs_r, match_scores
     return None
@@ -1418,13 +1464,14 @@ def detect_chessboard_batch(
 
     Returns {frame_index: detection} matching process_video's accumulation
     semantics (detection = (uvs, sorted_scores) when reorder else uvs).
-    The no-op parity flags (``adaptive_threshold``/``normalize_image`` — the
-    saddle response is intensity-offset invariant) are discarded here exactly
-    as in ``detect_chessboard``; only options that genuinely change per-frame
-    behavior (a real ``scale_factor`` downscale, or unknown kwargs) fall back
-    to the single-frame path.
+    ``adaptive_threshold`` is a no-op parity flag (the saddle response is
+    intensity-offset invariant); ``normalize_image`` gates the
+    normalized-anchor rescue pass for hard-lighting frames (the working
+    equivalent of the reference's cv2 flag). Only options that genuinely
+    change per-frame behavior (a real ``scale_factor`` downscale, or
+    unknown kwargs) fall back to the single-frame path.
     """
-    del adaptive_threshold, normalize_image  # parity args; response is invariant
+    del adaptive_threshold  # parity arg; response is offset invariant
     win_size = _subpix_win(subpix_winSize)
     # scale_factor==1 (the default everywhere, including the CLI's config
     # dict) is a no-op — only an actual downscale needs the per-frame path.
@@ -1438,6 +1485,7 @@ def detect_chessboard_batch(
             nms_radius=nms_radius,
             scale_factor=scale_factor,
             subpix_winSize=subpix_winSize,
+            normalize_image=normalize_image,
             **unsupported,
         )
         for i, img in enumerate(images):
@@ -1455,7 +1503,7 @@ def detect_chessboard_batch(
     )
     return _batch_finish(
         stage1, B, board_shape, reorder, match_score_min_diff, template_size,
-        win_size,
+        win_size, normalize_image=normalize_image,
     )
 
 
@@ -1524,7 +1572,7 @@ _N_WINDOW_HYPOTHESES = 6
 
 def _batch_finish(
     stage1, B, board_shape, reorder, match_score_min_diff, template_size,
-    win_size=5,
+    win_size=5, normalize_image=True,
 ):
     """Host half of the batch pipeline.
 
@@ -1561,11 +1609,25 @@ def _batch_finish(
             np.asarray(scores4_d).reshape(B, n_rep, 4),
         )
 
+    def apply_anchor(g, ms):
+        """Final detection value: grid flipped so the anchor sits at the
+        origin corner, plus the sorted 4-anchor scores."""
+        best = int(np.argmax(ms))
+        if best in (2, 3):  # anchor on the bottom row -> flip rows
+            g = g[::-1, :]
+        if best in (1, 2):  # anchor on the right col -> flip cols
+            g = g[:, ::-1]
+        return (g.reshape(-1, 2), np.sort(ms)[::-1])
+
+    near = {}  # frame -> (margin, raw grid, raw anchor scores): near-misses
+
     def pick(i, grids_i, scores_i, n, out, con_i=None):
         """Best hypothesis for frame i: strict lattice check (measured
         cells only when ``con_i`` constructed masks are given), then the
-        anchor decision with the largest margin. True = accepted."""
-        best_pick = None  # (margin, grid, sorted_scores)
+        anchor decision with the largest margin. True = accepted. Valid
+        grids whose margin falls short are recorded in ``near`` for the
+        normalized-anchor rescue pass."""
+        best_pick = None  # (margin, raw grid, raw scores)
         for h in range(n):
             g = grids_i[h]
             if not _grid_smoothness_ok(
@@ -1581,15 +1643,14 @@ def _batch_finish(
             ss = np.sort(ms)[::-1]
             margin = ss[0] - ss[1]
             if best_pick is None or margin > best_pick[0]:
-                best = int(np.argmax(ms))
-                if best in (2, 3):  # anchor on the bottom row -> flip rows
-                    g = g[::-1, :]
-                if best in (1, 2):  # anchor on the right col -> flip cols
-                    g = g[:, ::-1]
-                best_pick = (margin, g, ss)
+                best_pick = (margin, g, ms)
         if best_pick is not None and best_pick[0] >= match_score_min_diff:
-            out[int(i)] = (best_pick[1].reshape(-1, 2), best_pick[2])
+            out[int(i)] = apply_anchor(best_pick[1], best_pick[2])
             return True
+        if best_pick is not None:
+            cur = near.get(int(i))
+            if cur is None or best_pick[0] > cur[0]:
+                near[int(i)] = best_pick
         return False
 
     # Fast-path frames first: their windows were ordered, refined and
@@ -1721,6 +1782,45 @@ def _batch_finish(
                         i, grids_r[rows_i], scores_r[rows_i], len(rows_i),
                         out, rep_masks[rows_i],
                     )
+
+    # Normalized-anchor rescue (last resort, near-miss frames only): a
+    # perfect grid under hard vignetting can fail ONLY the anchor margin —
+    # the per-region linear detrend cannot remove quadratic shading. One
+    # dispatch re-scores those frames' best grids on locally normalized
+    # grays; a decisive normalized margin accepts. Plausible margins only
+    # (>= 0.4x the threshold): a near-zero margin means ambiguity, not
+    # lighting.
+    if reorder and normalize_image:
+        resc = [
+            i
+            for i in range(B)
+            if i not in out
+            and i in near
+            and near[i][0] >= 0.4 * match_score_min_diff
+        ]
+        if resc:
+            n_pad = max(1 << (len(resc) - 1).bit_length(), 1)
+            idx_r = np.array(resc + [-1] * (n_pad - len(resc)))
+            filler = (
+                np.stack(np.mgrid[0:cols, 0:rows][::-1], axis=-1) + 32
+            ).astype(np.float64)
+            grids_n = np.stack(
+                [near[i][1] for i in resc]
+                + [filler] * (n_pad - len(resc))
+            )
+            scores_n = np.asarray(
+                _anchor_scores_normalized_at(
+                    gray,
+                    jnp.asarray(np.maximum(idx_r, 0)),
+                    jnp.asarray(grids_n, gray.dtype),
+                    template_size,
+                )
+            )
+            for j, i in enumerate(resc):
+                ms = scores_n[j]
+                ss = np.sort(ms)[::-1]
+                if ss[0] - ss[1] >= match_score_min_diff:
+                    out[int(i)] = apply_anchor(near[i][1], ms)
     return out
 
 
@@ -1748,7 +1848,7 @@ def detect_chessboard_batches(
     This is the streaming shape of ``detect_chessboard_batch`` — same
     options, same per-batch results.
     """
-    del adaptive_threshold, normalize_image  # parity args; response invariant
+    del adaptive_threshold  # parity arg; response is offset invariant
     if unsupported or scale_factor != 1:
         # Options that need the per-frame path: no pipelining to exploit.
         for images in batches:
@@ -1762,6 +1862,7 @@ def detect_chessboard_batches(
                 template_size=template_size,
                 scale_factor=scale_factor,
                 subpix_winSize=subpix_winSize,
+                normalize_image=normalize_image,
                 **unsupported,
             )
         return
@@ -1781,7 +1882,7 @@ def detect_chessboard_batches(
         if prev is not None:
             yield _batch_finish(
                 prev[0], prev[1], board_shape, reorder, match_score_min_diff,
-                template_size, win_size,
+                template_size, win_size, normalize_image=normalize_image,
             )
         elif cur is None:
             yield {}
@@ -1795,5 +1896,5 @@ def detect_chessboard_batches(
     if prev is not None:
         yield _batch_finish(
             prev[0], prev[1], board_shape, reorder, match_score_min_diff,
-            template_size, win_size,
+            template_size, win_size, normalize_image=normalize_image,
         )

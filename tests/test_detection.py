@@ -624,3 +624,30 @@ class TestDeviceFastPath:
                     np.asarray(single[0], float),
                     atol=0.3,
                 )
+
+
+def test_normalized_anchor_rescue_under_vignette():
+    """A vignetted frame whose grid is perfect but whose anchor margin is
+    washed out by quadratic shading (the per-region linear detrend cannot
+    remove it) must be rescued by re-scoring the anchors on a locally
+    normalized image — and must NOT be detected with normalize_image=False
+    (proving the flag gates real behavior, reference detection.py:369-373)."""
+    rng = np.random.default_rng(106)  # frame 6 of the hard-frame bench set
+    H = random_view_homography(rng, board_shape=BOARD)
+    view, gt = render_board_view(
+        H, out_size=(480, 640), board_shape=BOARD, noise=2.0, seed=6,
+        **HARD_KW,
+    )
+    v8 = view.astype(np.uint8)
+    assert mct.detect_chessboard(v8, board_shape=BOARD,
+                                 normalize_image=False) is None
+    det = mct.detect_chessboard(v8, board_shape=BOARD, normalize_image=True)
+    assert det is not None, "normalized-anchor rescue should accept this frame"
+    d = np.linalg.norm(np.asarray(det[0])[:, None] - gt[None], axis=-1)
+    assert d.min(0).mean() < 1.0
+    # batch path applies the same rescue
+    batch = mct.detect_chessboard_batch([v8], board_shape=BOARD)
+    assert 0 in batch
+    np.testing.assert_allclose(
+        np.asarray(batch[0][0], float), np.asarray(det[0], float), atol=0.5
+    )
