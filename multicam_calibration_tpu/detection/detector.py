@@ -638,6 +638,10 @@ def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
     K = xy.shape[0]
     n_needed = rows * cols
     f = xy.dtype
+    if K < n_needed:  # fewer candidate slots than board corners: defer
+        ys_c, xs_c = jnp.mgrid[0:cols, 0:rows]
+        canon = (jnp.stack([xs_c, ys_c], axis=-1) + 32).astype(f)
+        return canon, jnp.asarray(False)
     idxk = jnp.arange(K)
     smax = 2 * max(rows, cols) + 5  # lattice-coord grid span (static)
     off = smax // 2
