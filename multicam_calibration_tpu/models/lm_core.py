@@ -87,6 +87,17 @@ class LMOptions:
     # Schur solves + cost evals marching lambda up by 5x steps).
     lambda_escalation: float = 1.0
     lambda_down: float = 1.0 / 3.0
+    # Post-acceptance relaxation. "classic": lambda *= lambda_down.
+    # "nielsen": lambda *= clip(1 - (2*rho - 1)^3, lambda_down, 2) with
+    # rho = actual / predicted cost reduction (Madsen-Nielsen-Tingleff):
+    # a high-gain step relaxes the full 3x, a barely-accepted one keeps or
+    # RAISES lambda. Measured on the bench problem (CPU f64+mixed): nielsen
+    # 19 iters / 24 nfev vs classic 15 / 26 — it saves retries (cheap:
+    # solve + cost eval) by spending OUTER iterations (expensive: the
+    # jacfwd block build), a net wall LOSS (4.5 vs 3.4 s) for this
+    # build-dominated solver. Kept as an option for solve-dominated
+    # problem shapes; "classic" is the right default here.
+    damping_schedule: str = "classic"
     min_lambda: float = 1e-12
     max_lambda: float = 1e8
     loss: str = "soft_l1"  # or "linear"
@@ -657,19 +668,52 @@ def lm_solve(
             )
         )
 
+        nielsen = opts.damping_schedule == "nielsen"
+        cdtype = state.cost.dtype
+
+        def gain_ratio(lam, dcam, dpose, cost_try):
+            """rho = actual / predicted reduction. For the Marquardt step
+            (A + lam*D) h = g (D = diag blocks, g the solve RHS) the model
+            reduction is L(0)-L(h) = 0.5 * h^T (lam*D*h + g). O(C*12+F*6)
+            dot products — negligible next to the solve itself."""
+            diag_u = jnp.diagonal(blocks.U, axis1=-2, axis2=-1).astype(cdtype)
+            g_cam = blocks.g_cam.astype(cdtype)
+            if axis_name is not None:
+                diag_u = lax.psum(diag_u, axis_name)
+                g_cam = lax.psum(g_cam, axis_name)
+            F = state.pose_params.shape[0]
+            diag_v = jnp.diagonal(
+                blocks.V.reshape(-1, 6, 6)[:F], axis1=-2, axis2=-1
+            ).astype(cdtype)
+            g_pose = blocks.g_pose.reshape(-1, 6)[:F].astype(cdtype)
+            dc = dcam.astype(cdtype)
+            dp = dpose.astype(cdtype)
+            lam_c = jnp.asarray(lam, cdtype)
+            term_cam = jnp.sum(dc * (lam_c * diag_u * dc + g_cam))
+            term_pose = jnp.sum(dp * (lam_c * diag_v * dp + g_pose))
+            if axis_name is not None:
+                term_pose = lax.psum(term_pose, axis_name)
+            pred = 0.5 * (term_cam + term_pose)
+            return (state.cost - cost_try) / jnp.maximum(pred, 1e-30)
+
         # Inner: retry with increasing damping until cost decreases.
         def inner_cond(t):
-            _, _, _, lam, tries, accepted, _ = t
+            _, _, _, lam, tries, accepted, _, _ = t
             return (~accepted) & (tries < opts.max_tries) & (lam < opts.max_lambda)
 
         def inner_body(t):
-            cam, poses, cost_new, lam, tries, _, _ = t
+            cam, poses, cost_new, lam, tries, _, _, rho_prev = t
             dcam, dpose = schur_solve(blocks, lam, axis_name, opts=opts)
             cam_try = state.cam_params + dcam
             # Chunked solves return nc*ck >= F rows; drop frame padding.
             poses_try = state.pose_params + dpose[: state.pose_params.shape[0]]
             cost_try = cost_fn(cam_try, poses_try)
             accepted = (cost_try < state.cost) & jnp.isfinite(cost_try)
+            rho = (
+                gain_ratio(lam, dcam, dpose[: state.pose_params.shape[0]], cost_try)
+                if nielsen
+                else rho_prev
+            )
             step_up = opts.lambda_up * opts.lambda_escalation ** tries.astype(
                 state.cost.dtype
             )
@@ -682,6 +726,7 @@ def lm_solve(
                 tries + 1,
                 accepted,
                 lam,
+                rho,
             )
 
         init = (
@@ -692,14 +737,21 @@ def lm_solve(
             jnp.zeros((), jnp.int32),
             jnp.zeros((), bool),
             state.lam,
+            jnp.ones((), cdtype),
         )
-        cam_n, poses_n, cost_n, lam_n, tries_used, accepted, lam_used = (
+        cam_n, poses_n, cost_n, lam_n, tries_used, accepted, lam_used, rho_used = (
             lax.while_loop(inner_cond, inner_body, init)
         )
 
         # On acceptance relax damping; on total failure keep raised lambda.
+        if nielsen:
+            relax = jnp.clip(
+                1.0 - (2.0 * rho_used - 1.0) ** 3, opts.lambda_down, 2.0
+            )
+        else:
+            relax = jnp.asarray(opts.lambda_down, cdtype)
         lam_next = jnp.clip(
-            jnp.where(accepted, lam_used * opts.lambda_down, lam_n),
+            jnp.where(accepted, lam_used * relax, lam_n),
             opts.min_lambda,
             opts.max_lambda,
         )

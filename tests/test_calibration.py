@@ -321,6 +321,39 @@ class TestBundleAdjust:
             costs[dt.__name__] = float(info["final_cost"])
         assert costs["float32"] <= costs["float64"] * 1.03
 
+    def test_nielsen_damping_matches_classic_quality(self, rig):
+        """The gain-ratio (Madsen-Nielsen-Tingleff) relaxation converges to
+        the same cost as the classic schedule with no more cost evals.
+        (Measured net wall LOSS on the bench problem — more outer
+        iterations, i.e. more jacfwd builds — hence classic stays the
+        default; see LMOptions.damping_schedule.)"""
+        from multicam_calibration_tpu.models.bundle_adjustment import (
+            _params_to_arrays,
+        )
+        from multicam_calibration_tpu.models.lm_core import lm_solve
+
+        ext, intr, poses, _ = mct.calibrate(
+            rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=40,
+        )
+        full = ~np.isnan(rig.all_calib_uvs).any((-1, -2))
+        use = np.nonzero(full.sum(0) > 1)[0]
+        obs_np = rig.all_calib_uvs[:, use]
+        mask = jnp.asarray(~np.isnan(obs_np).any(-1))
+        cam0 = jnp.asarray(_params_to_arrays(ext, intr), dtype=jnp.float64)
+        poses0 = jnp.asarray(np.asarray(poses)[use], dtype=jnp.float64)
+        obs = jnp.asarray(np.nan_to_num(obs_np), dtype=jnp.float64)
+        objp = jnp.asarray(rig.calib_objpoints, dtype=jnp.float64)
+        res = {}
+        for sched in ("classic", "nielsen"):
+            _, _, info = lm_solve(
+                cam0, poses0, obs, mask, objp,
+                LMOptions(damping_schedule=sched),
+            )
+            res[sched] = (float(info["final_cost"]), int(info["nfev"]))
+        assert res["nielsen"][0] <= res["classic"][0] * 1.01
+        assert res["nielsen"][1] <= res["classic"][1] * 1.5
+
 
 class TestShardedLM:
     def test_sharded_matches_single_device(self, rig):
