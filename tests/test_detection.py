@@ -651,3 +651,49 @@ def test_normalized_anchor_rescue_under_vignette():
     np.testing.assert_allclose(
         np.asarray(batch[0][0], float), np.asarray(det[0], float), atol=0.5
     )
+
+
+@pytest.mark.parametrize("board", [(7, 10), (4, 4), (3, 5)])
+def test_device_fast_path_other_board_shapes(board):
+    """Fast-path/host window agreement holds across board shapes: the
+    reference default (7, 10), a square board (orientation ties), and a
+    small (3, 5)."""
+    import jax
+    import jax.numpy as jnp
+    from multicam_calibration_tpu.detection.detector import (
+        _find_candidates,
+        _gray_from_u8,
+        _order_grids_device,
+        order_grid_points,
+    )
+
+    rows, cols = board
+    frames = []
+    for k in range(4):
+        rng = np.random.default_rng(k)
+        H = random_view_homography(
+            rng, board_shape=board,
+            scale_range=(0.35, 0.55) if board == (7, 10) else (0.45, 0.8),
+        )
+        v, _ = render_board_view(
+            H, out_size=(480, 640), board_shape=board, noise=1.5, seed=k
+        )
+        frames.append(np.asarray(v).astype(np.uint8))
+    gray = _gray_from_u8(jnp.asarray(np.stack(frames)))
+    xy_d, sc_d = _find_candidates(gray, 160, 4)
+    xy = np.asarray(xy_d)
+    sc = np.asarray(sc_d)
+    uvf, okf = jax.jit(
+        lambda x, s: _order_grids_device(x, s, rows, cols)
+    )(xy_d, sc_d)
+    uvf = np.asarray(uvf)
+    okf = np.asarray(okf)
+    assert okf.all()
+    for i in range(len(frames)):
+        host = order_grid_points(xy[i], sc[i], board, refined=False, n_windows=1)
+        assert host is not None
+        fu = np.asarray(uvf[i].reshape(-1, 2), float)
+        hu = np.asarray(host, float)
+        o1 = np.lexsort((fu[:, 1], fu[:, 0]))
+        o2 = np.lexsort((hu[:, 1], hu[:, 0]))
+        np.testing.assert_allclose(fu[o1], hu[o2])
