@@ -398,7 +398,13 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
             for (i, j) in frontier:
                 for di, dj in ((1, 0), (-1, 0), (0, 1), (0, -1)):
                     tgt = (i + di, j + dj)
-                    if tgt in grid:
+                    # A scaffold cell stays open to UPGRADE: the first
+                    # (failed) visit predicted from one direction only; a
+                    # real candidate may still match a later visit's
+                    # prediction from an orthogonal direction (the
+                    # pre-scaffold behavior, where unfilled cells were
+                    # retried on every ring). Real cells are final.
+                    if grid.get(tgt, -1) >= 0:
                         continue
                     # Prefer extrapolation from predecessors along (di, dj).
                     p1 = grid.get((i, j))
@@ -422,11 +428,13 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
                     cand, _ = nearest(pred, pitch_tol * pitch)
                     if cand is not None:
                         grid[tgt] = cand
+                        vpos.pop(tgt, None)
                         used_mask[cand] = True
                         new_frontier.append(tgt)
-                    elif p1 >= 0:
+                    elif p1 >= 0 and tgt not in grid:
                         # No candidate: scaffold through the hole (only
-                        # from a real predecessor — scaffolds don't chain).
+                        # from a real predecessor — scaffolds don't chain,
+                        # and a cell is scaffolded at most once).
                         grid[tgt] = -1
                         vpos[tgt] = pred
                         new_frontier.append(tgt)
@@ -708,52 +716,20 @@ def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
         inrange = jnp.all(jnp.abs(c) <= off - 1, axis=1)
         return c, resid, alive & inrange & (resid < tol)
 
-    def refit(H, c, inl):
-        """Weighted normalized DLT (h33=1) lattice-ints -> pixels; SPD
-        8x8 normal equations solved by Cholesky (no LU: TPU f64 gap)."""
-        wgt = inl.astype(f)
-        nw = jnp.maximum(wgt.sum(), one)
-        cm = (c * wgt[:, None]).sum(0) / nw
-        pm = (xy * wgt[:, None]).sum(0) / nw
-        cs = jnp.sqrt((((c - cm) ** 2) * wgt[:, None]).sum() / nw) + 1e-6
-        ps = jnp.sqrt((((xy - pm) ** 2) * wgt[:, None]).sum() / nw) + 1e-6
-        i_, j_ = ((c - cm) / cs).T
-        x_, y_ = ((xy - pm) / ps).T
-        z = jnp.zeros_like(i_)
-        o = jnp.ones_like(i_)
-        Ax = jnp.stack([i_, j_, o, z, z, z, -i_ * x_, -j_ * x_], 1)
-        Ay = jnp.stack([z, z, z, i_, j_, o, -i_ * y_, -j_ * y_], 1)
-        A = jnp.concatenate([Ax, Ay], 0)
-        b = jnp.concatenate([x_, y_], 0)
-        ww = jnp.concatenate([wgt, wgt], 0)[:, None]
-        AtA = (A * ww).T @ A + 1e-7 * jnp.eye(8, dtype=f)
-        h = jax.scipy.linalg.cho_solve(
-            (jnp.linalg.cholesky(AtA), True), (A * ww).T @ b
+    def refit(c, inl):
+        """Weighted Hartley-normalized DLT (ops.fit_homography) lattice
+        ints -> pixels. Lattice coords are clipped to the occupancy span so
+        weight-0 outliers (whose c can be arbitrarily large under a bad H)
+        cannot skew the normalization transform."""
+        return fit_homography(
+            jnp.clip(c, -off, off), xy, weights=inl.astype(f)
         )
-        Hn = jnp.concatenate([h, jnp.ones((1,), f)]).reshape(3, 3)
-        # Denormalize: pixels = T_p @ Hn @ T_l @ lattice.
-        Tl = jnp.stack(
-            [
-                jnp.stack([one / cs, zero, -cm[0] / cs]),
-                jnp.stack([zero, one / cs, -cm[1] / cs]),
-                jnp.stack([zero, zero, one]),
-            ]
-        )
-        Tp = jnp.stack(
-            [
-                jnp.stack([ps, zero, pm[0]]),
-                jnp.stack([zero, ps, pm[1]]),
-                jnp.stack([zero, zero, one]),
-            ]
-        )
-        Hd = Tp @ Hn @ Tl
-        return Hd / Hd[2, 2]
 
     def it_body(_, H):
         c, _, inl = assign(H)
         # Refit only with a healthy inlier count; a degenerate round keeps
         # the previous H (its assignment simply yields no complete window).
-        return jnp.where(jnp.sum(inl) >= 8, refit(H, c, inl), H)
+        return jnp.where(jnp.sum(inl) >= 8, refit(c, inl), H)
 
     H = lax.fori_loop(0, _FAST_ITERS, it_body, H0)
     c, resid, inl = assign(H)
@@ -789,9 +765,18 @@ def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
             lax.min, (nr, nc), (1, 1), "VALID",
         )
         sm = lax.reduce_window(sc_cell, zero, lax.add, (nr, nc), (1, 1), "VALID")
+        # Host-parity ranking: windows containing weak cells are DEMOTED
+        # (the host counts them as holes, so all-strong complete windows
+        # always outrank them) — approximated for ranking with the window
+        # mean in place of the median; the chosen window still must pass
+        # the exact median-based no_weak gate below or the frame defers.
+        # min-then-sum lexicographic order is approximated with a 1e-6 eps
+        # on the sum term (was 1e-3 — wide enough to flip the host's
+        # min-score ranking between two near-tied windows).
+        strong = (mn >= 0.45 * sm / n_needed).astype(f)
         return jnp.where(
             cnt >= n_needed - 0.5,
-            mn / mref + 1e-3 * sm / (n_needed * mref),
+            2.0 * strong + mn / mref + 1e-6 * sm / (n_needed * mref),
             -jnp.inf,
         )
 
@@ -1598,20 +1583,32 @@ def _batch_finish(
     NW = _N_WINDOW_HYPOTHESES
     cols, rows = board_shape[1], board_shape[0]
 
-    def score_hyps(hyps_flat, n_rep):
-        """One fused refine + anchor-score dispatch over n_rep hypotheses
-        per frame (canonical filler in unused slots, discarded below)."""
-        g_in = gray if n_rep == 1 else jnp.repeat(gray, n_rep, axis=0)
-        grids_r, scores4_d = _refine_and_score(
-            g_in,
-            jnp.asarray(hyps_flat, gray.dtype),
+    _filler = (
+        np.stack(np.mgrid[0:cols, 0:rows][::-1], axis=-1) + 32
+    ).astype(np.float64)
+
+    def score_at(frame_ixs, hyps_arr, max_drift=3.0):
+        """One fused refine + anchor-score dispatch over the given frames'
+        hypotheses ONLY (row j of ``hyps_arr`` belongs to frame
+        ``frame_ixs[j]``), padded to a power-of-two row count so distinct
+        fallback counts reuse one compiled program (fresh shapes cost
+        minutes each on remote-compiled TPU backends)."""
+        n = len(frame_ixs)
+        n_pad = max(1 << (n - 1).bit_length(), 1)
+        if n_pad > n:
+            hyps_arr = np.concatenate(
+                [hyps_arr, np.broadcast_to(_filler, (n_pad - n,) + _filler.shape)]
+            )
+        idxs = np.concatenate([frame_ixs, np.zeros(n_pad - n, np.int64)])
+        grids_r, scores4_d = _refine_and_score_at(
+            gray,
+            jnp.asarray(idxs),
+            jnp.asarray(hyps_arr, gray.dtype),
             template_size,
             win_size,
+            max_drift=max_drift,
         )
-        return (
-            np.asarray(grids_r).reshape(B, n_rep, cols, rows, 2),
-            np.asarray(scores4_d).reshape(B, n_rep, 4),
-        )
+        return np.asarray(grids_r)[:n], np.asarray(scores4_d)[:n]
 
     def apply_anchor(g, ms):
         """Final detection value: grid flipped so the anchor sits at the
@@ -1682,11 +1679,7 @@ def _batch_finish(
     # Host lattice ordering for the fallback frames only (xy/score are
     # downloaded lazily — an all-fast batch transfers nothing but the
     # refined grids and flags).
-    ys, xs = np.mgrid[0:cols, 0:rows]
-    hyp = np.broadcast_to(
-        (np.stack([xs, ys], axis=-1) + 32).astype(np.float64),
-        (B, NW, cols, rows, 2),
-    ).copy()
+    hyp = np.broadcast_to(_filler, (B, NW, cols, rows, 2)).copy()
     con = np.zeros((B, NW, cols, rows), bool)  # constructed-cell masks
     n_hyp = np.zeros(B, np.int64)
     if fallback:
@@ -1701,29 +1694,33 @@ def _batch_finish(
                 hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
                 con[i, h] = np.asarray(mask).reshape(cols, rows)
             n_hyp[i] = len(wins)
-    if not any(n_hyp):
-        return out
-
-    # Lazy hypothesis evaluation: the top-ranked window is right on clean
-    # frames, so score it alone first (one dispatch); only when some frame
-    # rejects it do the remaining hypotheses get their own (single) fused
-    # dispatch. Clean batches never pay the multi-hypothesis cost.
-    grids1, scores1 = score_hyps(hyp[:, 0], 1)
-    retry = [
-        i
-        for i in range(B)
-        if n_hyp[i] > 0
-        and i not in out
-        and not pick(i, grids1[i], scores1[i], 1, out, con[i, 0:1])
-        and n_hyp[i] > 1
-    ]
-    grids2 = None
-    if retry:
-        grids2, scores2 = score_hyps(
-            hyp[:, 1:].reshape(B * (NW - 1), cols, rows, 2), NW - 1
-        )
-        for i in retry:
-            pick(i, grids2[i], scores2[i], int(n_hyp[i]) - 1, out, con[i, 1:])
+    # Lazy hypothesis evaluation over the FALLBACK frames only (on a
+    # mostly-fast batch this dispatches a program sized by the handful of
+    # fallback frames, not B): the top-ranked window is right on clean
+    # frames, so score it alone first; only when some frame rejects it do
+    # the remaining hypotheses get their own dispatch.
+    fb = [i for i in range(B) if n_hyp[i] > 0]
+    grids1 = {}  # frame -> (refined hyp-0 grid, scores)
+    grids2 = {}  # frame -> (refined hyp-1.. grids, scores)
+    if fb:
+        g1, s1 = score_at(np.array(fb), hyp[np.array(fb), 0])
+        retry = []
+        for j, i in enumerate(fb):
+            grids1[i] = (g1[j], s1[j])
+            if (
+                not pick(i, g1[j][None], s1[j][None], 1, out, con[i, 0:1])
+                and n_hyp[i] > 1
+            ):
+                retry.append(i)
+        if retry:
+            ridx = np.repeat(np.array(retry), NW - 1)
+            g2, s2 = score_at(
+                ridx, hyp[np.array(retry), 1:].reshape(-1, cols, rows, 2)
+            )
+            for j, i in enumerate(retry):
+                sl = slice(j * (NW - 1), (j + 1) * (NW - 1))
+                grids2[i] = (g2[sl], s2[sl])
+                pick(i, g2[sl], s2[sl], int(n_hyp[i]) - 1, out, con[i, 1:])
 
     # Repair phase (last resort, failed frames only): the dominant hard-
     # frame failure is the CORRECT window vetoed by the strict lattice
@@ -1733,14 +1730,14 @@ def _batch_finish(
     # re-refines (max_drift=1.0 — the prediction is already near-true) and
     # re-scores all repaired grids, then the normal validate-and-arbitrate
     # pick runs on them. Clean frames never reach this.
-    failed = [i for i in range(B) if n_hyp[i] > 0 and i not in out]
+    failed = [i for i in fb if i not in out]
     if failed:
         entries = []  # (frame index, repaired grid, constructed mask)
         for i in failed:
-            cand = [(grids1[i, 0], con[i, 0])]
-            if grids2 is not None:
+            cand = [(grids1[i][0], con[i, 0])]
+            if i in grids2:
                 cand += [
-                    (grids2[i, h], con[i, h + 1])
+                    (grids2[i][0][h], con[i, h + 1])
                     for h in range(int(n_hyp[i]) - 1)
                 ]
             for g, cmask in cand:
@@ -1751,34 +1748,7 @@ def _batch_finish(
             idx = np.array([e[0] for e in entries])
             rep_grids = np.stack([e[1] for e in entries])
             rep_masks = np.stack([e[2] for e in entries])
-            # Pad to the next power of two: a per-count batch shape would
-            # compile a fresh program for every distinct repair count
-            # (minutes each on remote-compiled TPU backends). Padded slots
-            # carry the benign canonical grid and frame index -1, so they
-            # match no frame in the pick loop below.
-            n_pad = max(1 << (len(entries) - 1).bit_length(), 1)
-            if n_pad > len(entries):
-                pad = n_pad - len(entries)
-                filler = (
-                    np.stack(np.mgrid[0:cols, 0:rows][::-1], axis=-1) + 32
-                ).astype(np.float64)
-                rep_grids = np.concatenate(
-                    [rep_grids, np.broadcast_to(filler, (pad,) + filler.shape)]
-                )
-                rep_masks = np.concatenate(
-                    [rep_masks, np.zeros((pad, cols, rows), bool)]
-                )
-                idx = np.concatenate([idx, np.full(pad, -1)])
-            grids_r, scores_r = _refine_and_score_at(
-                gray,
-                jnp.asarray(np.maximum(idx, 0)),
-                jnp.asarray(rep_grids, gray.dtype),
-                template_size,
-                win_size,
-                max_drift=1.0,
-            )
-            grids_r = np.asarray(grids_r)
-            scores_r = np.asarray(scores_r)
+            grids_r, scores_r = score_at(idx, rep_grids, max_drift=1.0)
             for i in failed:
                 rows_i = np.nonzero(idx == i)[0]
                 if len(rows_i):
@@ -1805,12 +1775,9 @@ def _batch_finish(
         if resc:
             n_pad = max(1 << (len(resc) - 1).bit_length(), 1)
             idx_r = np.array(resc + [-1] * (n_pad - len(resc)))
-            filler = (
-                np.stack(np.mgrid[0:cols, 0:rows][::-1], axis=-1) + 32
-            ).astype(np.float64)
             grids_n = np.stack(
                 [near[i][1] for i in resc]
-                + [filler] * (n_pad - len(resc))
+                + [_filler] * (n_pad - len(resc))
             )
             scores_n = np.asarray(
                 _anchor_scores_normalized_at(

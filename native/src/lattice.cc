@@ -231,7 +231,12 @@ int mccl_order_candidates(const double* pts_in, const double* sc_in, int n_in,
       for (const Key& f : frontier) {
         for (const auto& d : dirs) {
           const Key tgt{f.i + d[0], f.j + d[1]};
-          if (grid.count(tgt)) continue;
+          // A scaffold cell stays open to UPGRADE (a later visit from an
+          // orthogonal direction may find a real candidate its first
+          // prediction missed — the pre-scaffold retry behavior); real
+          // cells are final. Mirrors detector.py.
+          auto it_t = grid.find(tgt);
+          if (it_t != grid.end() && it_t->second >= 0) continue;
           const int p1 = grid.at(f);
           const P2 q1 = pos(p1, f);
           P2 pred;
@@ -259,11 +264,15 @@ int mccl_order_candidates(const double* pts_in, const double* sc_in, int n_in,
           }
           const int cand = nearest(pred, pitch_tol * pitch);
           if (cand >= 0) {
+            if (it_t != grid.end()) {  // upgrade scaffold -> real
+              grid.erase(it_t);
+              vpos.erase(tgt);
+            }
             put(tgt, cand);
             next.push_back(tgt);
-          } else if (p1 >= 0) {
+          } else if (p1 >= 0 && it_t == grid.end()) {
             // Hole: scaffold through it (only from a real predecessor —
-            // scaffolds do not chain).
+            // scaffolds do not chain, and a cell scaffolds at most once).
             grid.emplace(tgt, -1);
             vpos.emplace(tgt, pred);
             next.push_back(tgt);
