@@ -98,6 +98,30 @@ def main():
         f"(device1 {t1/total:.0%}, host {t2/total:.0%}, device2 {t3/total:.0%})"
     )
 
+    # Fast path (r2): device lattice ordering folds ordering + refinement
+    # + anchor scoring into stage 1 — certified frames need no host work.
+    from multicam_calibration_tpu.detection.detector import (
+        _batch_finish,
+        _stage1_fast,
+    )
+
+    def fast_stage1():
+        s1 = _stage1_fast(gray, 160, 4, BOARD[0], BOARD[1], 40, 5)
+        return tuple(np.asarray(a) for a in s1)
+
+    t4 = timed("device: FAST stage1 (ord+ref+score)", fast_stage1)
+    s1_dev = (gray,) + tuple(_stage1_fast(gray, 160, 4, BOARD[0], BOARD[1], 40, 5))
+    n_ok = int(np.asarray(s1_dev[5]).sum())
+
+    def fast_finish():
+        return _batch_finish(s1_dev, BATCH, BOARD, True, 0.2, 40, 5)
+
+    t5 = timed("host: batch_finish on fast stage1", fast_finish)
+    print(
+        f"FAST pipeline {(t4 + t5)*1e3:.1f} ms -> {BATCH/(t4 + t5):.1f} fps "
+        f"({n_ok}/{BATCH} device-certified)"
+    )
+
 
 if __name__ == "__main__":
     main()
