@@ -697,3 +697,25 @@ def test_device_fast_path_other_board_shapes(board):
         o1 = np.lexsort((fu[:, 1], fu[:, 0]))
         o2 = np.lexsort((hu[:, 1], hu[:, 0]))
         np.testing.assert_allclose(fu[o1], hu[o2])
+
+
+def test_device_fast_path_rejects_random_clutter():
+    """Pure clutter clouds (no board) must never be certified by the
+    device fast path."""
+    import jax
+    import jax.numpy as jnp
+    from multicam_calibration_tpu.detection.detector import (
+        _order_grids_device,
+    )
+
+    rows, cols = BOARD
+    rng = np.random.default_rng(0)
+    B, K = 32, 160
+    xy = rng.uniform(20, 600, (B, K, 2)).astype(np.float32)
+    sc = np.sort(
+        rng.uniform(0.1, 1.0, (B, K)).astype(np.float32), axis=1
+    )[:, ::-1].copy()
+    _, okf = jax.jit(
+        lambda x, s: _order_grids_device(x, s, rows, cols)
+    )(jnp.asarray(xy), jnp.asarray(sc))
+    assert not np.asarray(okf).any()
