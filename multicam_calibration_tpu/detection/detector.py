@@ -1328,6 +1328,20 @@ def detect_chessboard(
     ``board_shape`` is (rows, cols) as in the reference.
     """
     del adaptive_threshold  # parity arg; response is offset invariant
+    if scale_factor == 1:
+        # Single frame = the batch pipeline at B=1: same device fast path,
+        # host fallback, repair and rescue — one code path to validate,
+        # and the per-frame API gets the fast path's dispatch savings.
+        return detect_chessboard_batch(
+            [image],
+            board_shape=board_shape,
+            reorder=reorder,
+            match_score_min_diff=match_score_min_diff,
+            max_candidates=max_candidates,
+            nms_radius=nms_radius,
+            subpix_winSize=subpix_winSize,
+            normalize_image=normalize_image,
+        ).get(0)
     win_size = _subpix_win(subpix_winSize)
     gray = _to_gray_f(image)
     if scale_factor != 1:
