@@ -27,12 +27,29 @@ SEED = 11
 
 
 def main():
+    import signal
+
     import jax
 
     if os.environ.get("MCC_BENCH_FORCE_CPU"):
         # Last-resort fallback after repeated remote-TPU backend failures
         # (see __main__): record an honest CPU result rather than none.
         jax.config.update("jax_platforms", "cpu")
+
+    # Watchdogs: the remote axon backend's observed failure mode is an
+    # INDEFINITE HANG (backend init or compile never returns — seen
+    # 2026-08-17, multi-hour outage), which no exception-based retry can
+    # catch. SIGALRM turns a hang into a transient TimeoutError that the
+    # __main__ retry/CPU-fallback ladder handles.
+    def _alarm(signum, frame):
+        raise TimeoutError("backend init/compile timed out (axon unreachable)")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(420)  # backend init: hangs fail fast
+    jax.devices()
+    # Whole-run budget: generous enough for fresh f64 remote compiles
+    # (~7 min/program), far shorter than "hang forever".
+    signal.alarm(2400)
 
     # f64 end-to-end: the damped BA system needs f64 step accuracy to reach
     # the reference's cost basin reliably — f32 trajectories stall at
@@ -262,29 +279,60 @@ def _is_transient(exc):
         "DEADLINE",
         "Connection",
         "Socket closed",
+        "timed out",
     )
     return any(n in msg for n in needles)
 
 
-if __name__ == "__main__":
+def _child():
+    """One bench attempt in this process. The in-process SIGALRM watchdog
+    is best-effort only (a hang inside a C/grpc call never returns to the
+    bytecode loop, so the Python handler cannot run — observed during the
+    2026-08-17 axon outage); the PARENT's subprocess timeout is the real
+    defense."""
     try:
         main()
-    except Exception as e:  # noqa: BLE001 - last line of defense for the bench
+        return 0
+    except Exception as e:  # noqa: BLE001 - last line of defense
         if not _is_transient(e):
             raise
-        attempt = int(os.environ.get("MCC_BENCH_ATTEMPT", "0"))
-        sys.stderr.write(
-            f"bench: transient backend failure (attempt {attempt}): {e}\n"
-        )
-        if attempt < 3:
-            # Re-exec: JAX caches a failed backend for the process lifetime,
-            # so a retry needs a fresh interpreter.
-            time.sleep(20.0 * (attempt + 1))
-            os.environ["MCC_BENCH_ATTEMPT"] = str(attempt + 1)
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        elif not os.environ.get("MCC_BENCH_FORCE_CPU"):
-            sys.stderr.write("bench: falling back to CPU backend\n")
-            os.environ["MCC_BENCH_FORCE_CPU"] = "1"
-            os.execv(sys.executable, [sys.executable] + sys.argv)
-        else:
-            raise
+        sys.stderr.write(f"bench: transient backend failure: {e}\n")
+        return 17  # transient: the parent ladder decides what to try next
+
+
+if __name__ == "__main__":
+    if os.environ.get("MCC_BENCH_CHILD"):
+        sys.exit(_child())
+
+    # Parent watchdog ladder: the axon backend's observed failure modes are
+    # both transient ERRORS (UNAVAILABLE) and INDEFINITE HANGS in C calls
+    # that no in-process mechanism can interrupt. Each attempt runs in a
+    # killable subprocess (stdout passes through, so the driver still reads
+    # the one JSON line); on timeout or transient failure, retry once on
+    # the TPU, then record an honest platform=cpu result rather than none.
+    import subprocess
+
+    # First TPU window is generous (fresh f64 remote compiles run ~7 min
+    # each); a second failure usually means down-hard, so its window is
+    # short before conceding to the CPU fallback.
+    plan = [({}, 1800), ({}, 600), ({"MCC_BENCH_FORCE_CPU": "1"}, 2400)]
+    rc = 1
+    for k, (extra_env, tmo) in enumerate(plan):
+        env = dict(os.environ, MCC_BENCH_CHILD="1", **extra_env)
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                timeout=tmo,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench: attempt {k} timed out after {tmo}s (killed)\n"
+            )
+            rc = 124
+        if rc == 0:
+            break
+        if rc not in (17, 124):  # real (non-transient) child failure
+            break
+        if k + 1 < len(plan):
+            time.sleep(20.0)
+    sys.exit(rc)
