@@ -1237,6 +1237,37 @@ def _find_candidates(gray_b, max_candidates, nms_radius):
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_candidates", "nms_radius", "rows", "cols", "template_size",
+        "win_size", "sigma",
+    ),
+)
+@with_highest_precision
+def _coarse_retry_at(
+    gray_all, idx, max_candidates, nms_radius, rows, cols, template_size,
+    win_size, sigma,
+):
+    """Coarse-scale retry over frames ``idx``: candidates at a LARGER
+    response sigma (motion blur / defocus flattens det(Hessian) at the
+    default 1.5 — the saddle survives at the blur's own scale), device
+    lattice ordering, then refinement + anchor scores on the ORIGINAL
+    grays. The reference's cv2 quad-contour detector is naturally
+    blur-robust (measured 8/8 at 12 px blur where sigma=1.5 got 3/8);
+    this is the scale-space equivalent."""
+    g = jnp.take(gray_all, idx, axis=0)
+    xy, score = find_corner_candidates(
+        g / 255.0, max_candidates=max_candidates, nms_radius=nms_radius,
+        sigma=sigma,
+    )
+    grids, ok = _order_grids_device(xy, score, rows, cols)
+    grids_r, scores4 = _refine_and_score_impl(
+        g, grids.astype(g.dtype), template_size, win_size, 3.0
+    )
+    return xy, score, grids_r, scores4, ok
+
+
 @functools.partial(jax.jit, static_argnames=("win_size", "max_drift"))
 @with_highest_precision
 def _refine_points(gray_b, pts, win_size, max_drift=3.0):
@@ -1507,6 +1538,7 @@ def detect_chessboard_batch(
     return _batch_finish(
         stage1, B, board_shape, reorder, match_score_min_diff, template_size,
         win_size, normalize_image=normalize_image,
+        max_candidates=max_candidates, nms_radius=nms_radius,
     )
 
 
@@ -1572,10 +1604,22 @@ def _stage1_fast(
 # so the extra slots cost nothing on easy batches.
 _N_WINDOW_HYPOTHESES = 6
 
+# Scale ladder for the coarse retry on failed frames: motion blur /
+# defocus collapses the default sigma=1.5 saddle response (measured 3/8
+# detected at 12 px blur). Each rung is (response sigma, subpixel window)
+# — the window must be scale-matched too: win 5 sees mostly featureless
+# blur at 16 px (1.7 px refinement jitter -> the strict smoothness gate
+# rejects an otherwise perfect window), win 11 brings the gradient
+# structure back (0.4-0.7 px). With both rungs the rate matches the
+# reference's blur-robust cv2 quad detector across 12-24 px blur
+# (8/8, 7/8, 6/8 at 12/16/24 px) at sub-pixel accuracy; only frames the
+# previous rungs failed pay for the next.
+_COARSE_SCALES = ((3.5, 11), (6.0, 17))
+
 
 def _batch_finish(
     stage1, B, board_shape, reorder, match_score_min_diff, template_size,
-    win_size=5, normalize_image=True,
+    win_size=5, normalize_image=True, max_candidates=160, nms_radius=4,
 ):
     """Host half of the batch pipeline.
 
@@ -1601,7 +1645,7 @@ def _batch_finish(
         np.stack(np.mgrid[0:cols, 0:rows][::-1], axis=-1) + 32
     ).astype(np.float64)
 
-    def score_at(frame_ixs, hyps_arr, max_drift=3.0):
+    def score_at(frame_ixs, hyps_arr, max_drift=3.0, win=None):
         """One fused refine + anchor-score dispatch over the given frames'
         hypotheses ONLY (row j of ``hyps_arr`` belongs to frame
         ``frame_ixs[j]``), padded to a power-of-two row count so distinct
@@ -1619,7 +1663,7 @@ def _batch_finish(
             jnp.asarray(idxs),
             jnp.asarray(hyps_arr, gray.dtype),
             template_size,
-            win_size,
+            win_size if win is None else win,
             max_drift=max_drift,
         )
         return np.asarray(grids_r)[:n], np.asarray(scores4_d)[:n]
@@ -1771,6 +1815,57 @@ def _batch_finish(
                         out, rep_masks[rows_i],
                     )
 
+    # Coarse-scale retry ladder (failed frames only): motion blur /
+    # defocus flattens the sigma=1.5 saddle response below the candidate
+    # cut — the saddle survives at the blur's own scale, so failed frames
+    # get further passes at the _COARSE_SCALES rungs (candidates + device
+    # ordering at the coarse scale; refinement and anchor scores on the
+    # ORIGINAL grays with a scale-matched window). Frames with a detected
+    # board never pay for any of this.
+    for c_sigma, c_win in _COARSE_SCALES:
+        failed2 = [i for i in range(B) if i not in out]
+        if not failed2:
+            break
+        n_pad = max(1 << (len(failed2) - 1).bit_length(), 1)
+        idx_c = np.concatenate([failed2, np.zeros(n_pad - len(failed2), np.int64)])
+        xyc, scc, gridc, s4c, okc = _coarse_retry_at(
+            gray, jnp.asarray(idx_c), max_candidates, nms_radius, rows, cols,
+            template_size, max(win_size, c_win), c_sigma,
+        )
+        okc = np.asarray(okc)
+        if okc[: len(failed2)].any():
+            gridc_h = np.asarray(gridc)
+            s4c_h = np.asarray(s4c)
+        host_retry = []
+        for j, i in enumerate(failed2):
+            if okc[j]:
+                pick(i, gridc_h[j][None], s4c_h[j][None], 1, out)
+            elif i not in out:
+                host_retry.append((j, i))
+        if host_retry:
+            xyc_h = np.asarray(xyc)
+            scc_h = np.asarray(scc)
+            entries = []  # (frame, unrefined hyp-0 grid, constructed mask)
+            for j, i in host_retry:
+                wins = order_grid_points(
+                    xyc_h[j], scc_h[j], board_shape, refined=False,
+                    n_windows=1, return_masks=True,
+                )
+                if wins:
+                    uvs, cmask = wins
+                    entries.append(
+                        (i, np.asarray(uvs).reshape(cols, rows, 2),
+                         np.asarray(cmask).reshape(1, cols, rows))
+                    )
+            if entries:
+                ge, se = score_at(
+                    np.array([e[0] for e in entries]),
+                    np.stack([e[1] for e in entries]),
+                    win=max(win_size, c_win),
+                )
+                for j, (i, _, cmask) in enumerate(entries):
+                    pick(i, ge[j][None], se[j][None], 1, out, cmask)
+
     # Normalized-anchor rescue (last resort, near-miss frames only): a
     # perfect grid under hard vignetting can fail ONLY the anchor margin —
     # the per-region linear detrend cannot remove quadratic shading. One
@@ -1868,6 +1963,7 @@ def detect_chessboard_batches(
             yield _batch_finish(
                 prev[0], prev[1], board_shape, reorder, match_score_min_diff,
                 template_size, win_size, normalize_image=normalize_image,
+                max_candidates=max_candidates, nms_radius=nms_radius,
             )
         elif cur is None:
             yield {}
@@ -1882,4 +1978,5 @@ def detect_chessboard_batches(
         yield _batch_finish(
             prev[0], prev[1], board_shape, reorder, match_score_min_diff,
             template_size, win_size, normalize_image=normalize_image,
+            max_candidates=max_candidates, nms_radius=nms_radius,
         )

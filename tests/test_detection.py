@@ -719,3 +719,37 @@ def test_device_fast_path_rejects_random_clutter():
         lambda x, s: _order_grids_device(x, s, rows, cols)
     )(jnp.asarray(xy), jnp.asarray(sc))
     assert not np.asarray(okf).any()
+
+
+def test_motion_blur_detection_matches_reference():
+    """Coarse-scale retry ladder: detection rate under motion blur must
+    match the reference's blur-robust cv2 quad detector on identical
+    frames (sigma=1.5 saddles alone collapse by 12 px blur), and accepted
+    detections must stay sub-pixel-accurate on the sharp ground truth."""
+    ref_det = _import_reference_detection()
+    for blur in (12, 16):
+        n_us = n_ref = 0
+        errs = []
+        for k in range(8):
+            rng = np.random.default_rng(300 + k)
+            H = random_view_homography(rng, board_shape=BOARD)
+            v, gt = render_board_view(
+                H, out_size=(480, 640), board_shape=BOARD, noise=2.0,
+                seed=k, motion_blur_px=blur,
+            )
+            v8 = v.astype(np.uint8)
+            n_ref += (
+                ref_det.detect_chessboard(
+                    np.stack([v8] * 3, -1), board_shape=BOARD
+                )
+                is not None
+            )
+            det = mct.detect_chessboard(v8, board_shape=BOARD)
+            if det is not None:
+                n_us += 1
+                d = np.linalg.norm(
+                    np.asarray(det[0])[:, None] - gt[None], axis=-1
+                )
+                errs.append(d.min(0).mean())
+        assert n_us >= n_ref, f"blur {blur}: ours {n_us}/8 vs ref {n_ref}/8"
+        assert np.mean(errs) < 1.0, f"blur {blur}: mean err {np.mean(errs)}"
