@@ -1818,10 +1818,14 @@ def _batch_finish(
     # Coarse-scale retry ladder (failed frames only): motion blur /
     # defocus flattens the sigma=1.5 saddle response below the candidate
     # cut — the saddle survives at the blur's own scale, so failed frames
-    # get further passes at the _COARSE_SCALES rungs (candidates + device
+    # get further passes at the _COARSE_SCALES rungs (candidates + DEVICE
     # ordering at the coarse scale; refinement and anchor scores on the
-    # ORIGINAL grays with a scale-matched window). Frames with a detected
-    # board never pay for any of this.
+    # ORIGINAL grays with a scale-matched window). Rungs use the device
+    # orderer only — measured identical blur rates with or without a host
+    # BFS fallback (blur-scale candidate sets are complete, exactly the
+    # fast path's home turf), and skipping it keeps boardless frames (a
+    # constant of real calibration videos) at two cheap extra dispatches
+    # instead of per-frame host combinatorics on clutter.
     for c_sigma, c_win in _COARSE_SCALES:
         failed2 = [i for i in range(B) if i not in out]
         if not failed2:
@@ -1833,38 +1837,13 @@ def _batch_finish(
             template_size, max(win_size, c_win), c_sigma,
         )
         okc = np.asarray(okc)
+        del xyc, scc  # device-certified rungs only (see comment above)
         if okc[: len(failed2)].any():
             gridc_h = np.asarray(gridc)
             s4c_h = np.asarray(s4c)
-        host_retry = []
         for j, i in enumerate(failed2):
             if okc[j]:
                 pick(i, gridc_h[j][None], s4c_h[j][None], 1, out)
-            elif i not in out:
-                host_retry.append((j, i))
-        if host_retry:
-            xyc_h = np.asarray(xyc)
-            scc_h = np.asarray(scc)
-            entries = []  # (frame, unrefined hyp-0 grid, constructed mask)
-            for j, i in host_retry:
-                wins = order_grid_points(
-                    xyc_h[j], scc_h[j], board_shape, refined=False,
-                    n_windows=1, return_masks=True,
-                )
-                if wins:
-                    uvs, cmask = wins
-                    entries.append(
-                        (i, np.asarray(uvs).reshape(cols, rows, 2),
-                         np.asarray(cmask).reshape(1, cols, rows))
-                    )
-            if entries:
-                ge, se = score_at(
-                    np.array([e[0] for e in entries]),
-                    np.stack([e[1] for e in entries]),
-                    win=max(win_size, c_win),
-                )
-                for j, (i, _, cmask) in enumerate(entries):
-                    pick(i, ge[j][None], se[j][None], 1, out, cmask)
 
     # Normalized-anchor rescue (last resort, near-miss frames only): a
     # perfect grid under hard vignetting can fail ONLY the anchor margin —

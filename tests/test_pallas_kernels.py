@@ -38,6 +38,20 @@ def test_corner_response_pallas_sigma(rng):
     )
 
 
+@pytest.mark.parametrize("sigma", [3.5, 6.0])
+def test_corner_response_pallas_coarse_sigmas(rng, sigma):
+    """The coarse-retry ladder (_COARSE_SCALES) runs the fused kernel at
+    sigma 3.5/6.0 — radius 11/18 halos must stay exact through the tile
+    plumbing, not just the default radius-5."""
+    g = jnp.asarray(rng.random((1, 128, 192)))
+    ref = np.asarray(corner_response(g, sigma=sigma, use_pallas=False))
+    out = np.asarray(corner_response_pallas(g, sigma=sigma, interpret=True))
+    m = int(3 * sigma + 0.5) + 4
+    np.testing.assert_allclose(
+        out[:, m:-m, m:-m], ref[:, m:-m, m:-m], atol=1e-10
+    )
+
+
 @pytest.mark.parametrize("shape", [(2, 100, 150), (1, 128, 256)])
 def test_fused_peaks_match_xla_nms(shape, rng):
     from jax import lax
@@ -61,6 +75,38 @@ def test_fused_peaks_match_xla_nms(shape, rng):
     m = nms + 4  # the margin find_corner_candidates masks anyway
     np.testing.assert_allclose(
         np.asarray(resp)[:, m:-m, m:-m], resp_ref[:, m:-m, m:-m], atol=1e-12
+    )
+    np.testing.assert_array_equal(
+        np.asarray(peak)[:, m:-m, m:-m], peak_ref[:, m:-m, m:-m]
+    )
+
+
+def test_fused_peaks_coarse_sigma(rng):
+    """Fused response+NMS at the coarse-retry ladder's sigma=6 (radius-18
+    halo through the tile plumbing)."""
+    from jax import lax
+
+    from multicam_calibration_tpu.ops.pallas_kernels import (
+        corner_response_peaks_pallas,
+    )
+
+    sigma, nms = 6.0, 4
+    g = jnp.asarray(rng.random((1, 160, 224)))
+    resp_ref = np.asarray(corner_response(g, sigma=sigma, use_pallas=False))
+    win = 2 * nms + 1
+    local_max = np.asarray(
+        lax.reduce_window(
+            jnp.asarray(resp_ref), -jnp.inf, lax.max, (1, win, win),
+            (1, 1, 1), "SAME",
+        )
+    )
+    peak_ref = (resp_ref >= local_max) & (resp_ref > 0)
+    resp, peak = corner_response_peaks_pallas(
+        g, sigma=sigma, nms_radius=nms, interpret=True
+    )
+    m = int(3 * sigma + 0.5) + nms + 4
+    np.testing.assert_allclose(
+        np.asarray(resp)[:, m:-m, m:-m], resp_ref[:, m:-m, m:-m], atol=1e-10
     )
     np.testing.assert_array_equal(
         np.asarray(peak)[:, m:-m, m:-m], peak_ref[:, m:-m, m:-m]
