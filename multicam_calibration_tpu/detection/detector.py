@@ -877,12 +877,12 @@ def _lattice_residuals(uv_grid, constructed=None):
     return res.reshape(nr, nc)
 
 
-def _grid_smoothness_ok(uv_grid, constructed=None):
+def _grid_smoothness_ok(uv_grid, constructed=None, win=5):
     """Strict post-refinement lattice validity, applied after subpixel
     refinement when the ordering ran on integer NMS peaks. Two tests:
 
     1. Smoothness (see smooth_enough in order_grid_points): max second
-       difference along each axis under max(0.15 * pitch, 2.5) px.
+       difference along each axis under max(0.15 * pitch, 0.5 * win) px.
     2. Homography-outlier: fit the best homography canonical-grid -> uv and
        reject grids whose worst corner deviates far beyond the grid's own
        fit quality (max residual > max(4 x median, 1.2 px)). Lens
@@ -890,6 +890,16 @@ def _grid_smoothness_ok(uv_grid, constructed=None):
        together, the relative bound holds); a clutter-substituted or
        mis-filled corner is a lone outlier (measured: bad corners sit at
        2-3 px residual vs <=0.6 px for genuine grids on hard frames).
+
+    ``win`` is the subpixel-refinement window the grid was refined with.
+    Refinement jitter grows with the blur scale the window was matched to
+    (measured ~0.2-0.4 px at win 5 on sharp frames, 0.7-1.5 px at win
+    11-17 on 12-24 px motion blur), and a second difference amplifies
+    per-corner jitter up to 4x — the fine-scale constants veto genuinely
+    correct coarse-rung grids (measured: a 12 px-blur board at win 17 with
+    1.6 px true error shows 5.4 px max second difference vs the old fixed
+    2.5-3.3 px limit). Both absolute floors scale linearly with ``win``,
+    calibrated so win=5 reproduces the original constants exactly.
 
     ``constructed`` (optional (nr, nc) bool) marks homography-predicted
     cells (hole fills / repairs): they are consistent with the lattice by
@@ -906,7 +916,7 @@ def _grid_smoothness_ok(uv_grid, constructed=None):
     d0 = np.linalg.norm(np.diff(uv_grid, axis=0), axis=-1)
     d1 = np.linalg.norm(np.diff(uv_grid, axis=1), axis=-1)
     pitch = np.median(np.concatenate([d0.ravel(), d1.ravel()]))
-    lim = max(0.15 * pitch, 2.5)
+    lim = max(0.15 * pitch, 0.5 * win, 2.5)
     for ax in (0, 1):
         d2d = np.linalg.norm(np.diff(uv_grid, n=2, axis=ax), axis=-1)
         if not d2d.size:
@@ -921,15 +931,16 @@ def _grid_smoothness_ok(uv_grid, constructed=None):
         if d2d.max() > lim:
             return False
     res = _lattice_residuals(uv_grid, con)
+    floor = max(1.2, 0.24 * win)
     if con is None:
-        return res.max() <= max(4.0 * np.median(res), 1.2)
+        return res.max() <= max(4.0 * np.median(res), floor)
     med = np.median(res[~con])
-    if res[~con].max() > max(4.0 * med, 1.2):
+    if res[~con].max() > max(4.0 * med, floor):
         return False
     # Constructed cells: looser absolute bound (distortion bias of the
     # global fit + the tight re-refine clamp), but not exempt — a filled
     # cell whose refinement wandered off in noise must still be caught.
-    return res[con].max() <= max(4.0 * med, 2.5)
+    return res[con].max() <= max(4.0 * med, 2.5, 0.5 * win)
 
 
 def _repair_grid(uv_grid, max_outliers=3, constructed=None):
@@ -1405,7 +1416,8 @@ def detect_chessboard(
         updated best_pick, or the accepted uvs directly when reorder=False
         (signalled by a ('done', uvs) tuple)."""
         if not _grid_smoothness_ok(
-            uvs.reshape(board_shape[1], board_shape[0], 2), cmask
+            uvs.reshape(board_shape[1], board_shape[0], 2), cmask,
+            win=win_size,
         ):
             return best_pick
         if not reorder:
@@ -1680,17 +1692,19 @@ def _batch_finish(
 
     near = {}  # frame -> (margin, raw grid, raw anchor scores): near-misses
 
-    def pick(i, grids_i, scores_i, n, out, con_i=None):
+    def pick(i, grids_i, scores_i, n, out, con_i=None, win=None):
         """Best hypothesis for frame i: strict lattice check (measured
-        cells only when ``con_i`` constructed masks are given), then the
-        anchor decision with the largest margin. True = accepted. Valid
-        grids whose margin falls short are recorded in ``near`` for the
-        normalized-anchor rescue pass."""
+        cells only when ``con_i`` constructed masks are given; ``win`` is
+        the refinement window the grids were refined with, scaling the
+        jitter tolerances), then the anchor decision with the largest
+        margin. True = accepted. Valid grids whose margin falls short are
+        recorded in ``near`` for the normalized-anchor rescue pass."""
         best_pick = None  # (margin, raw grid, raw scores)
         for h in range(n):
             g = grids_i[h]
             if not _grid_smoothness_ok(
-                g, None if con_i is None else con_i[h]
+                g, None if con_i is None else con_i[h],
+                win=win_size if win is None else win,
             ):
                 continue
             if not reorder:
@@ -1843,7 +1857,10 @@ def _batch_finish(
             s4c_h = np.asarray(s4c)
         for j, i in enumerate(failed2):
             if okc[j]:
-                pick(i, gridc_h[j][None], s4c_h[j][None], 1, out)
+                pick(
+                    i, gridc_h[j][None], s4c_h[j][None], 1, out,
+                    win=max(win_size, c_win),
+                )
 
     # Normalized-anchor rescue (last resort, near-miss frames only): a
     # perfect grid under hard vignetting can fail ONLY the anchor margin —
