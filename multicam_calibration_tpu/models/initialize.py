@@ -114,6 +114,66 @@ def intrinsics_from_homographies(Hs, valid, zero_skew=True):
     return K
 
 
+def intrinsics_from_homographies_fixed_pp(Hs, valid, image_size):
+    """Focal-only closed-form init with the principal point pinned at the
+    image center (cv2.initCameraMatrix2D's assumption).
+
+    Zhang's full 5-dof IAC estimate degenerates when the sampled board
+    views lack rotational diversity (near-fronto-parallel sets): the
+    recovered focal can land in the half-focal/compensating-distortion
+    basin that the LM refinement cannot escape. Pinning (cx, cy) and zero
+    skew leaves two unknowns X=1/fx^2, Y=1/fy^2, each homography giving two
+    linear constraints from the rotation-column orthogonality of
+    H' = T(-center) @ H; the 2x2 normal system is far better conditioned
+    under weak view diversity. Used as the alternative LM start in
+    :func:`get_intrinsics` when it disagrees with the IAC estimate.
+    """
+    w, h = image_size
+    cx = jnp.asarray(w, Hs.dtype) / 2.0
+    cy = jnp.asarray(h, Hs.dtype) / 2.0
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], Hs.dtype
+    ).at[0, 2].set(-cx).at[1, 2].set(-cy)
+    Hc = jnp.einsum("ij,fjk->fik", T, Hs)
+
+    def rows(H):
+        a1, a2 = H[0, 0], H[0, 1]
+        b1, b2 = H[1, 0], H[1, 1]
+        c1, c2 = H[2, 0], H[2, 1]
+        # h1^T B h2 = 0 ; h1^T B h1 - h2^T B h2 = 0, B = diag(X, Y, 1)
+        A = jnp.array(
+            [[a1 * a2, b1 * b2], [a1 * a1 - a2 * a2, b1 * b1 - b2 * b2]],
+            H.dtype,
+        )
+        r = jnp.array([-c1 * c2, -(c1 * c1 - c2 * c2)], H.dtype)
+        return A, r
+
+    A, r = jax.vmap(rows)(Hc)
+    wgt = valid.astype(Hs.dtype)[:, None, None]
+    A = (A * wgt).reshape(-1, 2)
+    r = (r * wgt[..., 0]).reshape(-1)
+    # 2x2 Cramer solve (jnp.linalg.solve lowers to LU, unsupported for
+    # XLA:TPU's emulated f64 — see lm_core's Cholesky-only policy).
+    ATA = A.T @ A + 1e-12 * jnp.eye(2, dtype=Hs.dtype)
+    Ab = A.T @ r
+    det = ATA[0, 0] * ATA[1, 1] - ATA[0, 1] * ATA[1, 0]
+    XY = (
+        jnp.array(
+            [
+                ATA[1, 1] * Ab[0] - ATA[0, 1] * Ab[1],
+                ATA[0, 0] * Ab[1] - ATA[1, 0] * Ab[0],
+            ],
+            Hs.dtype,
+        )
+        / det
+    )
+    fx = 1.0 / jnp.sqrt(jnp.clip(XY[0], 1e-12))
+    fy = 1.0 / jnp.sqrt(jnp.clip(XY[1], 1e-12))
+    return jnp.array(
+        [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], dtype=Hs.dtype
+    )
+
+
 def poses_from_homographies(Hs, K):
     """Planar pose extraction: H = K [r1 r2 t] (up to scale) -> (F, 6).
 
@@ -300,24 +360,52 @@ def get_intrinsics(
 
     Hs, _ = estimate_board_homographies(uvs, objpoints, mask_f)
     K0 = intrinsics_from_homographies(Hs, mask_f)
-    poses0 = poses_from_homographies(Hs, K0)
 
     # Refine (fx, fy, cx, cy, k1, k2) + poses jointly with the BA engine:
     # a single-camera bundle adjustment with the camera extrinsics frozen at
     # identity (gauge: board poses absorb all motion).
-    cam0 = jnp.concatenate(
-        [
-            jnp.stack([K0[0, 0], K0[1, 1], K0[0, 2], K0[1, 2]]),
-            jnp.zeros(8, dtype=uvs.dtype),
-        ]
-    )[None]
     cam_free = jnp.concatenate([jnp.ones(6), jnp.zeros(6)])[None]
     obs = uvs[None]
     point_mask = jnp.broadcast_to(mask_f[None, :, None], obs.shape[:3])
     opts = lm_options or LMOptions(max_iters=60, ftol=1e-6, loss="linear")
-    cam_ref, _, _ = lm_solve(
-        cam0, poses0, obs, point_mask, objpoints, opts, cam_free=cam_free
-    )
+
+    def refine(K_init):
+        cam0 = jnp.concatenate(
+            [
+                jnp.stack(
+                    [K_init[0, 0], K_init[1, 1], K_init[0, 2], K_init[1, 2]]
+                ),
+                jnp.zeros(8, dtype=uvs.dtype),
+            ]
+        )[None]
+        poses0 = poses_from_homographies(Hs, K_init)
+        cam_ref, _, info = lm_solve(
+            cam0, poses0, obs, point_mask, objpoints, opts, cam_free=cam_free
+        )
+        return cam_ref, float(info["final_cost"])
+
+    cam_ref, cost = refine(K0)
+
+    # Basin guard: Zhang's 5-dof IAC estimate degenerates under weak view
+    # diversity and can start the LM in the half-focal/compensating-
+    # distortion basin it cannot leave. When the fixed-principal-point
+    # focal estimate materially disagrees with the IAC one, refine from it
+    # too and keep the lower-cost solution (one extra solve of an
+    # already-compiled program, and only for cameras whose inits disagree).
+    K0_pp = intrinsics_from_homographies_fixed_pp(Hs, mask_f, image_size)
+    f_ratio = jnp.maximum(K0[0, 0] / K0_pp[0, 0], K0_pp[0, 0] / K0[0, 0])
+    pp_off = jnp.hypot(
+        K0[0, 2] - K0_pp[0, 2], K0[1, 2] - K0_pp[1, 2]
+    ) / float(np.hypot(*image_size))
+    if bool(jnp.isfinite(K0_pp[0, 0])) and (
+        not bool(jnp.isfinite(K0[0, 0]))
+        or float(f_ratio) > 1.15
+        or float(pp_off) > 0.08
+    ):
+        cam_alt, cost_alt = refine(K0_pp)
+        if not np.isfinite(cost) or cost_alt < cost:
+            cam_ref, cost = cam_alt, cost_alt
+
     fx, fy, cx, cy, k1, k2 = (float(cam_ref[0, i]) for i in range(6))
     camera_matrix = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     dist_coefs = np.array([k1, k2, 0.0, 0.0, 0.0])

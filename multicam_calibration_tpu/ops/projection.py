@@ -14,6 +14,7 @@ inverse distortion (/root/reference/multicam_calibration/geometry.py:277-358):
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .transforms import apply_rigid_transform, get_transformation_matrix
@@ -26,6 +27,7 @@ __all__ = [
     "undistort_points",
     "normalize_points",
     "denormalize_points",
+    "distortion_valid_r2",
 ]
 
 # Fixed-point iterations for inverse distortion. cv2.undistortPoints uses 5 by
@@ -44,6 +46,34 @@ def _pad_dist_coefs(dist_coefs, dtype):
     if n < 5:
         d = jnp.concatenate([d, jnp.zeros(5 - n, dtype=dtype)])
     return d[0], d[1], d[2], d[3], d[4]
+
+
+def distortion_valid_r2(dist_coefs):
+    """Squared normalized radius where the radial model stops being invertible.
+
+    The distorted radius ``rd(r) = r * (1 + k1 r^2 + k2 r^4 + k3 r^6)`` is
+    only invertible while it is increasing; past its first stationary point
+    (``d rd/d r = 1 + 3 k1 r^2 + 5 k2 r^4 + 7 k3 r^6 = 0``) every distorted
+    radius has a SECOND preimage on the far branch, and the fixed-point
+    inverse can silently converge there (the round trip is exact, the point
+    is wrong). Returns the smallest positive root of the derivative cubic
+    in r^2, or +inf when the model is globally monotonic (e.g. pincushion
+    k1 > 0 with small higher terms). Host-side numpy on the concrete
+    coefficients — use it to build validity masks for observations.
+    """
+    k = np.zeros(5)
+    if dist_coefs is not None:
+        d = np.asarray(dist_coefs, float).reshape(-1)[:5]
+        k[: d.shape[0]] = d
+    k1, k2, _, _, k3 = k
+    # 7 k3 u^3 + 5 k2 u^2 + 3 k1 u + 1 = 0 with u = r^2
+    coefs = [7.0 * k3, 5.0 * k2, 3.0 * k1, 1.0]
+    coefs = np.trim_zeros(coefs, "f")
+    if len(coefs) < 2:
+        return np.inf
+    roots = np.roots(coefs)
+    pos = roots[(np.abs(roots.imag) < 1e-12) & (roots.real > 0)].real
+    return float(pos.min()) if pos.size else np.inf
 
 
 def distort_normalized(xy, dist_coefs):

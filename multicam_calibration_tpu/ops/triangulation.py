@@ -12,7 +12,14 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .projection import undistort_points
+from .projection import (
+    denormalize_points,
+    distort_normalized,
+    distortion_valid_r2,
+    normalize_points,
+    undistort_normalized,
+    undistort_points,
+)
 from .reductions import masked_median
 from .transforms import get_projection_matrix
 
@@ -70,12 +77,33 @@ def triangulate(all_uvs, all_extrinsics, all_intrinsics):
     """
     uvs = jnp.stack([jnp.asarray(u) for u in all_uvs])
     mask = jnp.all(jnp.isfinite(uvs), axis=-1)
-    und = jnp.stack(
-        [
-            undistort_points(uvs[i], *_split_intrinsics(all_intrinsics[i]))
-            for i in range(uvs.shape[0])
-        ]
-    )
+    und = []
+    # Invalid-branch guard (beyond-reference robustness): the radial model
+    # is only invertible inside its monotonic radius; a corrupted
+    # observation beyond it undistorts to an exact-round-trip point on the
+    # WRONG branch (cv2.undistortPoints extrapolates the same way,
+    # reference geometry.py:354-356) and, entering many camera pairs, can
+    # poison the pairwise median. Drop views whose undistorted normalized
+    # radius exceeds the camera's valid radius, and views whose round trip
+    # fails to reconverge (> 1 px) — a real detection does neither.
+    for i in range(uvs.shape[0]):
+        K, dist = _split_intrinsics(all_intrinsics[i])
+        # The monotonic bound needs concrete coefficients — take them from
+        # the caller's (host) intrinsics, not the device array.
+        r2_max = distortion_valid_r2(np.asarray(all_intrinsics[i][1]))
+        xy_n = normalize_points(uvs[i], K)
+        und_n = undistort_normalized(xy_n, dist)
+        r2 = jnp.sum(und_n * und_n, axis=-1)
+        rt = jnp.linalg.norm(
+            jnp.nan_to_num(
+                denormalize_points(distort_normalized(und_n, dist), K) - uvs[i]
+            ),
+            axis=-1,
+        )
+        ok = (r2 < r2_max) & (rt < 1.0)
+        mask = mask.at[i].set(mask[i] & jnp.where(mask[i], ok, False))
+        und.append(denormalize_points(und_n, K))
+    und = jnp.stack(und)
     Ps = jnp.stack(
         [
             get_projection_matrix(jnp.asarray(all_extrinsics[i]), all_intrinsics[i])
