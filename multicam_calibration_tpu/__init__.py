@@ -16,8 +16,10 @@ from .models.initialize import (
     estimate_all_extrinsics,
     estimate_pairwise_camera_transform,
     estimate_pose,
+    estimate_pose_batch,
     get_camera_spanning_tree,
     get_intrinsics,
+    get_intrinsics_batch,
 )
 from .models.bundle_adjustment import (
     bundle_adjust,
@@ -67,8 +69,10 @@ __all__ = list(_ops_all) + [
     "estimate_all_extrinsics",
     "estimate_pairwise_camera_transform",
     "estimate_pose",
+    "estimate_pose_batch",
     "get_camera_spanning_tree",
     "get_intrinsics",
+    "get_intrinsics_batch",
     "bundle_adjust",
     "bundle_adjustment_sparsity",
     "deserialize_params",

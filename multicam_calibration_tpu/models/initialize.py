@@ -20,6 +20,8 @@ TPU-native replacement for the reference's OpenCV-backed init stage
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -41,7 +43,9 @@ __all__ = [
     "intrinsics_from_homographies",
     "poses_from_homographies",
     "get_intrinsics",
+    "get_intrinsics_batch",
     "estimate_pose",
+    "estimate_pose_batch",
     "estimate_pairwise_camera_transform",
     "get_camera_spanning_tree",
     "estimate_all_extrinsics",
@@ -412,6 +416,153 @@ def get_intrinsics(
     return camera_matrix, dist_coefs
 
 
+@jax.jit
+@with_highest_precision
+def _batched_zhang_init(uvs_s, mask_f, objpoints, image_sizes):
+    """Homographies + both closed-form K estimates for ALL cameras at once."""
+    Hs, _ = jax.vmap(estimate_board_homographies, in_axes=(0, None, 0))(
+        uvs_s, objpoints, mask_f
+    )
+    K0 = jax.vmap(intrinsics_from_homographies)(Hs, mask_f)
+    K0_pp = jax.vmap(intrinsics_from_homographies_fixed_pp)(
+        Hs, mask_f, image_sizes
+    )
+    return Hs, K0, K0_pp
+
+
+@functools.partial(jax.jit, static_argnames=("opts",))
+def _batched_intrinsics_refine(K_inits, Hs, uvs_s, mask_f, objpoints, opts):
+    """vmap the single-camera Schur-LM intrinsics refine over cameras.
+
+    One lockstep ``lax.while_loop`` for the whole rig (iterations = the
+    slowest camera's count) instead of C sequential solves — on TPU this is
+    also C dispatches -> 1.
+    """
+
+    def one(K_init, Hs_c, uvs_c, mask_c):
+        cam0 = jnp.concatenate(
+            [
+                jnp.stack(
+                    [K_init[0, 0], K_init[1, 1], K_init[0, 2], K_init[1, 2]]
+                ),
+                jnp.zeros(8, dtype=uvs_c.dtype),
+            ]
+        )[None]
+        poses0 = poses_from_homographies(Hs_c, K_init)
+        obs = uvs_c[None]
+        point_mask = jnp.broadcast_to(mask_c[None, :, None], obs.shape[:3])
+        cam_free = jnp.concatenate(
+            [jnp.ones(6, obs.dtype), jnp.zeros(6, obs.dtype)]
+        )[None]
+        cam_ref, _, info = lm_solve(
+            cam0, poses0, obs, point_mask, objpoints, opts, cam_free=cam_free
+        )
+        return cam_ref[0], info["final_cost"]
+
+    return jax.vmap(one)(K_inits, Hs, uvs_s, mask_f)
+
+
+def get_intrinsics_batch(
+    all_calib_uvs,
+    calib_objpoints,
+    img_sizes,
+    n_samples=100,
+    seed=0,
+    lm_options=None,
+):
+    """All cameras' intrinsics in two batched device programs.
+
+    Same per-camera semantics as :func:`get_intrinsics` (same sampling rng,
+    same Zhang init, same LM refine, same basin guard) but vmapped over the
+    camera axis: one Zhang-init program and one (occasionally two) batched
+    LM solves for the whole rig. Returns a list of
+    (camera_matrix (3,3), dist_coefs (5,)) pairs.
+    """
+    all_calib_uvs = np.asarray(all_calib_uvs)
+    n_cameras = all_calib_uvs.shape[0]
+    samples, takes = [], []
+    for c in range(n_cameras):
+        valid_ixs = np.nonzero(~np.isnan(all_calib_uvs[c]).any((1, 2)))[0]
+        if len(valid_ixs) < 3:
+            raise ValueError(
+                f"get_intrinsics needs >= 3 fully-detected frames, got "
+                f"{len(valid_ixs)} for camera {c} (Zhang's method requires "
+                f"3+ board views)"
+            )
+        take = min(n_samples, len(valid_ixs))
+        rng = np.random.default_rng(seed)
+        s = rng.choice(valid_ixs, take, replace=False)
+        if take < n_samples:
+            s = np.concatenate([s, np.full(n_samples - take, s[0])])
+        samples.append(s)
+        takes.append(take)
+    uvs_s = jnp.asarray(
+        np.nan_to_num(
+            np.stack([all_calib_uvs[c, samples[c]] for c in range(n_cameras)])
+        )
+    )
+    mask_f = jnp.arange(n_samples)[None, :] < jnp.asarray(takes)[:, None]
+    objpoints = jnp.asarray(calib_objpoints, dtype=uvs_s.dtype)
+    sizes_np = np.asarray(img_sizes, dtype=float)
+    opts = lm_options or LMOptions(max_iters=60, ftol=1e-6, loss="linear")
+
+    Hs, K0, K0_pp = _batched_zhang_init(
+        uvs_s, mask_f, objpoints, jnp.asarray(sizes_np, dtype=uvs_s.dtype)
+    )
+    cam_ref, cost = _batched_intrinsics_refine(
+        K0, Hs, uvs_s, mask_f, objpoints, opts
+    )
+    cam_ref, cost = np.array(cam_ref), np.array(cost)  # writable host copies
+
+    # Basin guard, per camera (same thresholds as get_intrinsics).
+    K0n, K0pn = np.asarray(K0), np.asarray(K0_pp)
+    f0, fp = K0n[:, 0, 0], K0pn[:, 0, 0]
+    with np.errstate(all="ignore"):
+        f_ratio = np.maximum(f0 / fp, fp / f0)
+        pp_off = np.hypot(
+            K0n[:, 0, 2] - K0pn[:, 0, 2], K0n[:, 1, 2] - K0pn[:, 1, 2]
+        ) / np.hypot(sizes_np[:, 0], sizes_np[:, 1])
+    flagged = np.isfinite(fp) & (
+        ~np.isfinite(f0) | (f_ratio > 1.15) | (pp_off > 0.08)
+    )
+    if flagged.any():
+        cam_alt, cost_alt = _batched_intrinsics_refine(
+            K0_pp, Hs, uvs_s, mask_f, objpoints, opts
+        )
+        cam_alt, cost_alt = np.asarray(cam_alt), np.asarray(cost_alt)
+        with np.errstate(all="ignore"):
+            sel = flagged & (~np.isfinite(cost) | (cost_alt < cost))
+        cam_ref[sel] = cam_alt[sel]
+
+    out = []
+    for c in range(n_cameras):
+        fx, fy, cx, cy, k1, k2 = cam_ref[c, :6]
+        out.append(
+            (
+                np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]]),
+                np.array([k1, k2, 0.0, 0.0, 0.0]),
+            )
+        )
+    return out
+
+
+def estimate_pose_batch(
+    all_calib_uvs, calib_objpoints, all_camera_matrices, all_dist_coeffs
+):
+    """Board poses for ALL cameras in one device program; (C, F, 6).
+
+    vmap of the single-camera pipeline (:func:`estimate_pose`) over the
+    camera axis — identical per-camera results, one dispatch.
+    """
+    uvs = jnp.asarray(all_calib_uvs)
+    Ks = jnp.asarray(np.stack(all_camera_matrices), dtype=uvs.dtype)
+    dists = jnp.asarray(np.stack(all_dist_coeffs), dtype=uvs.dtype)
+    objpoints = jnp.asarray(calib_objpoints, dtype=uvs.dtype)
+    return jax.vmap(_estimate_pose_impl, in_axes=(0, 0, 0, None))(
+        uvs, Ks, dists, objpoints
+    )
+
+
 def estimate_pairwise_camera_transform(camera1_poses, camera2_poses):
     """Median relative transform cam1 -> cam2 over co-observed frames.
 
@@ -517,30 +668,61 @@ def calibrate(
     from ..utils.metrics import metrics
 
     n_cameras = len(all_calib_uvs)
-    all_intrinsics = []
+    # Uniform (C, F, N, 2) detections take the camera-batched device paths
+    # (one program for the rig per stage) on accelerator backends, where
+    # per-camera dispatch dominates. On CPU the sequential loop is faster:
+    # the batched LM runs lockstep (every camera pays the slowest camera's
+    # iteration count) with no dispatch saving to show for it — same
+    # backend-conditional policy as bundle_adjust's auto-numerics. Ragged
+    # per-camera inputs always take the sequential loop.
+    try:
+        uvs_arr = np.asarray(all_calib_uvs, dtype=float)
+        batched = uvs_arr.ndim == 4 and jax.default_backend() != "cpu"
+    except ValueError:  # pragma: no cover - ragged input
+        batched = False
     if verbose:
         print("Estimating camera intrinsics")
     with metrics.timer("calibrate.intrinsics", n_cameras=n_cameras):
-        for c in range(n_cameras):
-            all_intrinsics.append(
+        if batched:
+            all_intrinsics = get_intrinsics_batch(
+                uvs_arr,
+                calib_objpoints,
+                img_sizes,
+                n_samples=n_samples_for_intrinsics,
+            )
+        else:
+            all_intrinsics = [
                 get_intrinsics(
                     all_calib_uvs[c],
                     calib_objpoints,
                     img_sizes[c],
                     n_samples=n_samples_for_intrinsics,
                 )
-            )
+                for c in range(n_cameras)
+            ]
     if verbose:
         print("Initializing calibration object poses")
     with metrics.timer("calibrate.poses"):
-        all_calib_poses = np.stack(
-            [
-                np.asarray(
-                    estimate_pose(all_calib_uvs[c], calib_objpoints, *all_intrinsics[c])
+        if batched:
+            all_calib_poses = np.asarray(
+                estimate_pose_batch(
+                    uvs_arr,
+                    calib_objpoints,
+                    [k for k, _ in all_intrinsics],
+                    [d for _, d in all_intrinsics],
                 )
-                for c in range(n_cameras)
-            ]
-        )
+            )
+        else:
+            all_calib_poses = np.stack(
+                [
+                    np.asarray(
+                        estimate_pose(
+                            all_calib_uvs[c], calib_objpoints, *all_intrinsics[c]
+                        )
+                    )
+                    for c in range(n_cameras)
+                ]
+            )
     if verbose:
         print("Estimating camera extrinsics")
     with metrics.timer("calibrate.extrinsics"):

@@ -56,6 +56,26 @@ class TestIntrinsics:
         # Single-camera calibration from 40 noisy frames: a few percent.
         assert abs(K[0, 0] - K_true[0, 0]) / K_true[0, 0] < 0.05
 
+    def test_batched_matches_sequential(self, rig):
+        """get_intrinsics_batch == per-camera get_intrinsics (the TPU path
+        must produce the same calibration the CPU loop does)."""
+        batched = init.get_intrinsics_batch(
+            rig.all_calib_uvs, rig.calib_objpoints, rig.img_sizes, n_samples=40
+        )
+        for c in range(len(rig.all_calib_uvs)):
+            K_s, d_s = init.get_intrinsics(
+                rig.all_calib_uvs[c],
+                rig.calib_objpoints,
+                rig.img_sizes[c],
+                n_samples=40,
+            )
+            K_b, d_b = batched[c]
+            # The batched solve is lockstep (extra no-op iterations after a
+            # camera converges) so agreement is to optimizer tolerance, not
+            # bitwise.
+            np.testing.assert_allclose(K_b, K_s, rtol=1e-3, atol=1e-2)
+            np.testing.assert_allclose(d_b, d_s, rtol=1e-2, atol=1e-4)
+
 
 class TestPose:
     def test_estimate_pose_matches_cv2(self, rig):
@@ -76,6 +96,26 @@ class TestPose:
             assert ok
             oracle = np.concatenate([rvec.ravel(), tvec.ravel()])
             np.testing.assert_allclose(poses[f], oracle, atol=0.5)
+
+    def test_batched_matches_sequential(self, rig):
+        """estimate_pose_batch == per-camera estimate_pose exactly (pure
+        vmap of the same fixed-iteration program — no lockstep slack)."""
+        Ks = [k for k, _ in rig.all_intrinsics]
+        Ds = [d for _, d in rig.all_intrinsics]
+        batched = np.asarray(
+            init.estimate_pose_batch(
+                rig.all_calib_uvs, rig.calib_objpoints, Ks, Ds
+            )
+        )
+        for c in range(len(rig.all_calib_uvs)):
+            seq = np.asarray(
+                init.estimate_pose(
+                    rig.all_calib_uvs[c], rig.calib_objpoints, Ks[c], Ds[c]
+                )
+            )
+            assert np.array_equal(np.isnan(batched[c]), np.isnan(seq))
+            m = np.isfinite(seq)
+            np.testing.assert_allclose(batched[c][m], seq[m], atol=1e-10)
 
     def test_pose_reprojects(self, clean_rig):
         c = 0
