@@ -9,6 +9,7 @@ Python loops and static shapes (observation masks instead of NaN gathers).
 """
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -18,10 +19,9 @@ from .projection import (
     distortion_valid_r2,
     normalize_points,
     undistort_normalized,
-    undistort_points,
 )
 from .reductions import masked_median
-from .transforms import get_projection_matrix
+from .transforms import get_transformation_matrix
 
 __all__ = ["triangulate_dlt", "triangulate_pairs", "triangulate"]
 
@@ -66,6 +66,86 @@ def triangulate_pairs(uvs, Ps, mask=None):
     return pts, pair_valid
 
 
+@jax.jit
+def _triangulate_impl(uvs, Ks, dists, exts, r2_maxs):
+    """One fused program for the whole robust-triangulation pipeline.
+
+    Works in NORMALIZED camera coordinates: undistorted rays are O(1) and
+    the pair DLT uses P = [R|t] directly, so every matrix entry is O(1) —
+    well-conditioned enough that the 3x3 normal-equation solve (closed-form
+    symmetric inverse, pure elementwise VPU work — no batched LAPACK/eigh
+    factorizations) matches the homogeneous SVD answer to well below
+    detection noise for finite points.
+    """
+    mask = jnp.all(jnp.isfinite(uvs), axis=-1)  # (C, N)
+    xy_n = jax.vmap(normalize_points)(uvs, Ks)
+    und_n = jax.vmap(undistort_normalized)(xy_n, dists)
+    # Invalid-branch guard (beyond-reference robustness): the radial model
+    # is only invertible inside its monotonic radius; a corrupted
+    # observation beyond it undistorts to an exact-round-trip point on the
+    # WRONG branch (cv2.undistortPoints extrapolates the same way,
+    # reference geometry.py:354-356) and, entering many camera pairs, can
+    # poison the pairwise median. Drop views whose undistorted normalized
+    # radius exceeds the camera's valid radius, and views whose round trip
+    # fails to reconverge (> 1 px) — a real detection does neither.
+    r2 = jnp.sum(und_n * und_n, axis=-1)
+    roundtrip = jax.vmap(denormalize_points)(
+        jax.vmap(distort_normalized)(und_n, dists), Ks
+    )
+    rt_err = jnp.linalg.norm(jnp.nan_to_num(roundtrip - uvs), axis=-1)
+    mask = mask & (r2 < r2_maxs[:, None]) & (rt_err < 1.0)
+
+    Rts = get_transformation_matrix(exts)[..., :3, :]  # (C, 3, 4)
+    xy = jnp.nan_to_num(und_n)
+    # DLT rows per camera: x * P_3 - P_1, y * P_3 - P_2  -> (C, N, 2, 4).
+    rows = xy[..., :, None] * Rts[:, None, None, 2, :] - Rts[:, None, :2, :]
+    # Inhomogeneous least squares min ||M X + a|| (M = rows[:, :3],
+    # a = rows[:, 3]). Normal-equation contributions are ADDITIVE across a
+    # pair's rows, so build them once per camera and add per pair — 2.5x
+    # less einsum work than forming each pair's (4, 4) design matrix, and
+    # no (n_pairs, N, 4, 4) intermediate.
+    Mc = rows[..., :3]  # (C, N, 2, 3)
+    ac = rows[..., 3]  # (C, N, 2)
+    Nc = jnp.einsum("cnri,cnrj->cnij", Mc, Mc)
+    gc = jnp.einsum("cnri,cnr->cni", Mc, ac)
+    n_cameras = uvs.shape[0]
+    ii, jj = np.triu_indices(n_cameras, k=1)
+    pair_valid = mask[ii] & mask[jj]
+    N3 = Nc[ii] + Nc[jj]
+    g = gc[ii] + gc[jj]
+    # Closed-form symmetric 3x3 inverse (cofactors); tiny ridge keeps
+    # det > 0 for the all-masked zero-ray pairs whose output is discarded.
+    eps = jnp.asarray(1e-12, N3.dtype)
+    a11 = N3[..., 0, 0] + eps
+    a12, a13 = N3[..., 0, 1], N3[..., 0, 2]
+    a22 = N3[..., 1, 1] + eps
+    a23 = N3[..., 1, 2]
+    a33 = N3[..., 2, 2] + eps
+    c11 = a22 * a33 - a23 * a23
+    c12 = a13 * a23 - a12 * a33
+    c13 = a12 * a23 - a13 * a22
+    c22 = a11 * a33 - a13 * a13
+    c23 = a12 * a13 - a11 * a23
+    c33 = a11 * a22 - a12 * a12
+    det = a11 * c11 + a12 * c12 + a13 * c13
+    g0, g1, g2 = g[..., 0], g[..., 1], g[..., 2]
+    pts = (
+        -jnp.stack(
+            [
+                c11 * g0 + c12 * g1 + c13 * g2,
+                c12 * g0 + c22 * g1 + c23 * g2,
+                c13 * g0 + c23 * g1 + c33 * g2,
+            ],
+            axis=-1,
+        )
+        / det[..., None]
+    )
+    return jnp.stack(
+        [masked_median(pts[..., k], pair_valid, axis=0) for k in range(3)],
+        axis=-1,
+    )
+
+
 def triangulate(all_uvs, all_extrinsics, all_intrinsics):
     """Robust triangulation: median over all camera-pair DLT estimates.
 
@@ -76,47 +156,25 @@ def triangulate(all_uvs, all_extrinsics, all_intrinsics):
     (n_points, 3) with NaN where fewer than two cameras observed the point.
     """
     uvs = jnp.stack([jnp.asarray(u) for u in all_uvs])
-    mask = jnp.all(jnp.isfinite(uvs), axis=-1)
-    und = []
-    # Invalid-branch guard (beyond-reference robustness): the radial model
-    # is only invertible inside its monotonic radius; a corrupted
-    # observation beyond it undistorts to an exact-round-trip point on the
-    # WRONG branch (cv2.undistortPoints extrapolates the same way,
-    # reference geometry.py:354-356) and, entering many camera pairs, can
-    # poison the pairwise median. Drop views whose undistorted normalized
-    # radius exceeds the camera's valid radius, and views whose round trip
-    # fails to reconverge (> 1 px) — a real detection does neither.
-    for i in range(uvs.shape[0]):
-        K, dist = _split_intrinsics(all_intrinsics[i])
-        # The monotonic bound needs concrete coefficients — take them from
-        # the caller's (host) intrinsics, not the device array.
-        r2_max = distortion_valid_r2(np.asarray(all_intrinsics[i][1]))
-        xy_n = normalize_points(uvs[i], K)
-        und_n = undistort_normalized(xy_n, dist)
-        r2 = jnp.sum(und_n * und_n, axis=-1)
-        rt = jnp.linalg.norm(
-            jnp.nan_to_num(
-                denormalize_points(distort_normalized(und_n, dist), K) - uvs[i]
-            ),
-            axis=-1,
-        )
-        ok = (r2 < r2_max) & (rt < 1.0)
-        mask = mask.at[i].set(mask[i] & jnp.where(mask[i], ok, False))
-        und.append(denormalize_points(und_n, K))
-    und = jnp.stack(und)
-    Ps = jnp.stack(
-        [
-            get_projection_matrix(jnp.asarray(all_extrinsics[i]), all_intrinsics[i])
-            for i in range(uvs.shape[0])
-        ]
+    Ks = jnp.stack(
+        [jnp.asarray(k, dtype=uvs.dtype) for k, _ in all_intrinsics]
     )
-    pts, pair_valid = triangulate_pairs(jnp.nan_to_num(und), Ps, mask)
-    med = jnp.stack(
-        [masked_median(pts[..., k], pair_valid, axis=0) for k in range(3)], axis=-1
+    dists_np = np.zeros((uvs.shape[0], 5))
+    for i, (_, d) in enumerate(all_intrinsics):
+        d = np.asarray(d, dtype=float).reshape(-1)[:5]
+        dists_np[i, : d.shape[0]] = d
+    # The monotonic-validity bound needs concrete coefficients — computed
+    # host-side from the caller's intrinsics, passed in as data.
+    r2_maxs = np.array([distortion_valid_r2(d) for d in dists_np])
+    exts = jnp.stack(
+        [jnp.asarray(e, dtype=uvs.dtype) for e in all_extrinsics]
     )
-    return med
+    return _triangulate_impl(
+        uvs,
+        Ks,
+        jnp.asarray(dists_np, dtype=uvs.dtype),
+        exts,
+        jnp.asarray(r2_maxs, dtype=uvs.dtype),
+    )
 
 
-def _split_intrinsics(intrinsics):
-    camera_matrix, dist_coefs = intrinsics
-    return jnp.asarray(camera_matrix), jnp.asarray(dist_coefs)
