@@ -33,6 +33,7 @@ from .models.bundle_adjustment import (
 )
 from .models.lm_core import LMOptions
 from .models.streaming import RollingCalibrator
+from .models.uncertainty import calibration_uncertainty
 from .models.flatibration import (
     center_arena,
     flatibrate,
@@ -83,6 +84,7 @@ __all__ = list(_ops_all) + [
     "serialize_params",
     "LMOptions",
     "RollingCalibrator",
+    "calibration_uncertainty",
     "center_arena",
     "flatibrate",
     "flip_z_axis",
