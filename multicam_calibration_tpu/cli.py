@@ -147,6 +147,25 @@ def cmd_adjust(args):
     )
     save_calibration(ext2, intr2, names, args.output, save_format=args.format)
     print(f"saved adjusted calibration to {args.output}")
+    if getattr(args, "uncertainty", False):
+        from . import calibration_uncertainty
+
+        unc = calibration_uncertainty(
+            uvs[:, use_frames], ext2, intr2, objpoints, poses2
+        )
+        print(
+            f"observation noise: {unc['sigma_px']:.3f} px "
+            f"(dof {unc['dof']:.0f})"
+        )
+        sd = unc["camera_sd"]
+        for c, name in enumerate(names):
+            print(
+                f"  {name}: fx±{sd[c, 0]:.2f} fy±{sd[c, 1]:.2f} "
+                f"cx±{sd[c, 2]:.2f} cy±{sd[c, 3]:.2f} "
+                f"k1±{sd[c, 4]:.4f} k2±{sd[c, 5]:.4f} "
+                f"rot±{sd[c, 6:9].max():.2e} rad "
+                f"trans±{sd[c, 9:12].max():.2f}"
+            )
     return 0
 
 
@@ -280,6 +299,10 @@ def main(argv=None):
     p.add_argument(
         "--checkpoint", default=None,
         help="npz path for resumable optimizer state (saved every few iters)",
+    )
+    p.add_argument(
+        "--uncertainty", action="store_true",
+        help="print per-parameter standard errors at the optimum",
     )
     _add_board_args(p)
     p.set_defaults(fn=cmd_adjust)

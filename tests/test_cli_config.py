@@ -159,7 +159,7 @@ class TestCLI:
         # Focal length recovered within a few percent.
         assert abs(intr_est[0][0][0, 0] - 900) / 900 < 0.05
 
-    def test_adjust_with_checkpoint(self, video_rig, tmp_path):
+    def test_adjust_with_checkpoint(self, video_rig, tmp_path, capsys):
         from multicam_calibration_tpu.cli import main
 
         calib = str(tmp_path / "c.json")
@@ -175,7 +175,7 @@ class TestCLI:
         rc = main(
             [
                 "adjust", *video_rig["paths"], "--calibration", calib,
-                "--output", out, "--checkpoint", ck,
+                "--output", out, "--checkpoint", ck, "--uncertainty",
                 "--board", "5", "7", "--square-size", "12.5",
             ]
         )
@@ -184,6 +184,8 @@ class TestCLI:
         assert os.path.exists(ck)
         saved = dict(np.load(ck))
         assert saved["it_done"] >= 1
+        printed = capsys.readouterr().out
+        assert "observation noise" in printed  # --uncertainty report
 
     def test_benchmark_command(self, capsys):
         from multicam_calibration_tpu.cli import main
