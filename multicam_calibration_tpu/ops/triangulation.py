@@ -9,6 +9,8 @@ Python loops and static shapes (observation masks instead of NaN gathers).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 import jax.numpy as jnp
@@ -66,8 +68,43 @@ def triangulate_pairs(uvs, Ps, mask=None):
     return pts, pair_valid
 
 
-@jax.jit
-def _triangulate_impl(uvs, Ks, dists, exts, r2_maxs):
+def _sym3_solve(N3, g, eps=1e-12):
+    """x = N^{-1} g and diag(N^{-1}) for symmetric 3x3 batches.
+
+    Closed-form cofactor inverse — pure elementwise work; the tiny ridge
+    keeps det > 0 for all-masked points whose output is discarded.
+    """
+    e = jnp.asarray(eps, N3.dtype)
+    a11 = N3[..., 0, 0] + e
+    a12, a13 = N3[..., 0, 1], N3[..., 0, 2]
+    a22 = N3[..., 1, 1] + e
+    a23 = N3[..., 1, 2]
+    a33 = N3[..., 2, 2] + e
+    c11 = a22 * a33 - a23 * a23
+    c12 = a13 * a23 - a12 * a33
+    c13 = a12 * a23 - a13 * a22
+    c22 = a11 * a33 - a13 * a13
+    c23 = a12 * a13 - a11 * a23
+    c33 = a11 * a22 - a12 * a12
+    det = a11 * c11 + a12 * c12 + a13 * c13
+    g0, g1, g2 = g[..., 0], g[..., 1], g[..., 2]
+    x = (
+        jnp.stack(
+            [
+                c11 * g0 + c12 * g1 + c13 * g2,
+                c12 * g0 + c22 * g1 + c23 * g2,
+                c13 * g0 + c23 * g1 + c33 * g2,
+            ],
+            axis=-1,
+        )
+        / det[..., None]
+    )
+    inv_diag = jnp.stack([c11, c22, c33], axis=-1) / det[..., None]
+    return x, inv_diag
+
+
+@functools.partial(jax.jit, static_argnames=("refine",))
+def _triangulate_impl(uvs, Ks, dists, exts, r2_maxs, refine=False):
     """One fused program for the whole robust-triangulation pipeline.
 
     Works in NORMALIZED camera coordinates: undistorted rays are O(1) and
@@ -111,42 +148,68 @@ def _triangulate_impl(uvs, Ks, dists, exts, r2_maxs):
     n_cameras = uvs.shape[0]
     ii, jj = np.triu_indices(n_cameras, k=1)
     pair_valid = mask[ii] & mask[jj]
-    N3 = Nc[ii] + Nc[jj]
-    g = gc[ii] + gc[jj]
-    # Closed-form symmetric 3x3 inverse (cofactors); tiny ridge keeps
-    # det > 0 for the all-masked zero-ray pairs whose output is discarded.
-    eps = jnp.asarray(1e-12, N3.dtype)
-    a11 = N3[..., 0, 0] + eps
-    a12, a13 = N3[..., 0, 1], N3[..., 0, 2]
-    a22 = N3[..., 1, 1] + eps
-    a23 = N3[..., 1, 2]
-    a33 = N3[..., 2, 2] + eps
-    c11 = a22 * a33 - a23 * a23
-    c12 = a13 * a23 - a12 * a33
-    c13 = a12 * a23 - a13 * a22
-    c22 = a11 * a33 - a13 * a13
-    c23 = a12 * a13 - a11 * a23
-    c33 = a11 * a22 - a12 * a12
-    det = a11 * c11 + a12 * c12 + a13 * c13
-    g0, g1, g2 = g[..., 0], g[..., 1], g[..., 2]
-    pts = (
-        -jnp.stack(
-            [
-                c11 * g0 + c12 * g1 + c13 * g2,
-                c12 * g0 + c22 * g1 + c23 * g2,
-                c13 * g0 + c23 * g1 + c33 * g2,
-            ],
-            axis=-1,
-        )
-        / det[..., None]
-    )
-    return jnp.stack(
+    pts, _ = _sym3_solve(Nc[ii] + Nc[jj], -(gc[ii] + gc[jj]))
+    med = jnp.stack(
         [masked_median(pts[..., k], pair_valid, axis=0) for k in range(3)],
         axis=-1,
     )
+    if not refine:
+        return med
+
+    # Robust-gated all-view Gauss-Newton polish (beyond reference): the
+    # pair-median is robust but statistically inefficient (each estimate
+    # uses 2 views). Starting AT the median, re-fit each point to every
+    # view whose reprojection lies within ~3 px (so the outlier views the
+    # median rejected stay rejected), minimizing PIXEL reprojection error
+    # (per-camera focal weights). Also returns the per-point standard
+    # error from the GN covariance.
+    R = Rts[..., :3]  # (C, 3, 3)
+    t = Rts[..., 3]  # (C, 3)
+    fx = Ks[:, 0, 0]
+    gate = 3.0 / fx  # ~3 px in normalized units, per camera
+    X = jnp.nan_to_num(med)
+    w_px = fx[:, None] ** 2
+
+    def gn_state(X):
+        Xc = jnp.einsum("cij,nj->cni", R, X) + t[:, None]
+        front = Xc[..., 2] > 1e-9
+        z = jnp.maximum(Xc[..., 2], 1e-9)
+        uv_pred = Xc[..., :2] / z[..., None]
+        r = xy - uv_pred  # (C, N, 2) normalized units
+        ok = mask & front & (jnp.linalg.norm(r, axis=-1) < gate[:, None])
+        w = ok.astype(X.dtype) * w_px
+        Ju = (R[:, None, 0, :] - uv_pred[..., 0:1] * R[:, None, 2, :]) / z[
+            ..., None
+        ]
+        Jv = (R[:, None, 1, :] - uv_pred[..., 1:2] * R[:, None, 2, :]) / z[
+            ..., None
+        ]
+        J = jnp.stack([Ju, Jv], axis=-2)  # (C, N, 2, 3)
+        N3 = jnp.einsum("cn,cnri,cnrj->nij", w, J, J)
+        gg = jnp.einsum("cn,cnri,cnr->ni", w, J, r)
+        return N3, gg, w, r, ok
+
+    for _ in range(3):
+        N3, gg, w, r, ok = gn_state(X)
+        dX, _ = _sym3_solve(N3, gg)
+        X = X + dX
+
+    N3, gg, w, r, ok = gn_state(X)
+    n_ok = jnp.sum(ok, axis=0)  # views per point
+    valid = jnp.any(pair_valid, axis=0) & (n_ok >= 2)
+    out = jnp.where(valid[:, None], X, med)
+    # Per-point sd: sigma^2 (px^2) from the residuals, covariance from the
+    # pixel-weighted normal matrix. dof = 2 * n_views - 3 (>= 1).
+    wss = jnp.sum(w[..., None] * r**2, axis=(0, 2))
+    dof = jnp.maximum(2.0 * n_ok - 3.0, 1.0)
+    _, inv_diag = _sym3_solve(N3, gg)
+    sd = jnp.sqrt(jnp.clip(inv_diag * (wss / dof)[:, None], 0.0))
+    sd = jnp.where(valid[:, None], sd, jnp.nan)
+    return out, sd
 
 
-def triangulate(all_uvs, all_extrinsics, all_intrinsics):
+def triangulate(all_uvs, all_extrinsics, all_intrinsics, refine=False,
+                return_sd=False):
     """Robust triangulation: median over all camera-pair DLT estimates.
 
     API parity with the reference ``triangulate`` (geometry.py:361-433):
@@ -154,7 +217,17 @@ def triangulate(all_uvs, all_extrinsics, all_intrinsics):
     missing observations, ``all_extrinsics`` a list/array of 6-vectors,
     ``all_intrinsics`` a list of (camera_matrix, dist_coefs). Returns
     (n_points, 3) with NaN where fewer than two cameras observed the point.
+
+    Beyond-reference options:
+
+    - ``refine=True``: follow the median with a robust-gated all-view
+      Gauss-Newton polish (minimizes pixel reprojection error over every
+      view within ~3 px of the median's reprojection) — statistically
+      efficient where the pair-median is merely robust.
+    - ``return_sd=True`` (implies ``refine``): also return (n_points, 3)
+      per-point standard errors from the GN covariance.
     """
+    refine = refine or return_sd
     uvs = jnp.stack([jnp.asarray(u) for u in all_uvs])
     Ks = jnp.stack(
         [jnp.asarray(k, dtype=uvs.dtype) for k, _ in all_intrinsics]
@@ -169,12 +242,17 @@ def triangulate(all_uvs, all_extrinsics, all_intrinsics):
     exts = jnp.stack(
         [jnp.asarray(e, dtype=uvs.dtype) for e in all_extrinsics]
     )
-    return _triangulate_impl(
+    out = _triangulate_impl(
         uvs,
         Ks,
         jnp.asarray(dists_np, dtype=uvs.dtype),
         exts,
         jnp.asarray(r2_maxs, dtype=uvs.dtype),
+        refine=refine,
     )
+    if not refine:
+        return out
+    pts, sd = out
+    return (pts, sd) if return_sd else pts
 
 

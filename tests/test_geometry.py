@@ -268,6 +268,72 @@ class TestTriangulation:
         np.testing.assert_allclose(rec[1], pts[1], atol=1e-5)
         np.testing.assert_allclose(rec[2:], pts[2:], atol=1e-5)
 
+    def test_refine_improves_noisy_cloud(self, rng):
+        cams = self._rig(rng, n_cameras=5)
+        pts = rng.standard_normal((400, 3)) * 0.5 + np.array([0, 0, 4.0])
+        all_uvs = []
+        for e, K, d in cams:
+            uv = np.array(
+                mct.project_points(
+                    jnp.asarray(pts), jnp.asarray(e), jnp.asarray(K), jnp.asarray(d)
+                )
+            )
+            uv += rng.standard_normal(uv.shape) * 0.5
+            all_uvs.append(uv)
+        exts = [e for e, _, _ in cams]
+        intr = [(K, d) for _, K, d in cams]
+        med = np.asarray(mct.triangulate(all_uvs, exts, intr))
+        ref, sd = mct.triangulate(all_uvs, exts, intr, return_sd=True)
+        ref, sd = np.asarray(ref), np.asarray(sd)
+        rmse_med = np.sqrt(np.nanmean(np.sum((med - pts) ** 2, -1)))
+        rmse_ref = np.sqrt(np.nanmean(np.sum((ref - pts) ** 2, -1)))
+        # The all-view GN polish is statistically efficient where the
+        # pair-median is merely robust.
+        assert rmse_ref < rmse_med
+        # sd is calibrated: median standardized chi2 within 2x of chi2(3).
+        z2 = np.sum(((ref - pts) / sd) ** 2, -1)
+        assert 1.0 < np.median(z2) < 5.0
+
+    def test_refine_rejects_outlier_view(self, rng):
+        # One bad camera of 6 corrupts 5/15 pairs — below the pair-median's
+        # 50% breakdown (at 4 cameras it would be 3/6 = AT breakdown, where
+        # the median itself fails — same as the reference).
+        cams = self._rig(rng, n_cameras=6)
+        pts = rng.standard_normal((30, 3)) * 0.5 + np.array([0, 0, 4.0])
+        all_uvs = [
+            np.array(
+                mct.project_points(
+                    jnp.asarray(pts), jnp.asarray(e), jnp.asarray(K), jnp.asarray(d)
+                )
+            )
+            for e, K, d in cams
+        ]
+        all_uvs[2][:10] += 80.0  # gross outlier detections in one camera
+        exts = [e for e, _, _ in cams]
+        intr = [(K, d) for _, K, d in cams]
+        ref = np.asarray(mct.triangulate(all_uvs, exts, intr, refine=True))
+        np.testing.assert_allclose(ref, pts, atol=1e-4)
+
+    def test_refine_preserves_nan_semantics(self, rng):
+        cams = self._rig(rng, n_cameras=3)
+        pts = rng.standard_normal((6, 3)) * 0.5 + np.array([0, 0, 4.0])
+        all_uvs = [
+            np.array(
+                mct.project_points(
+                    jnp.asarray(pts), jnp.asarray(e), jnp.asarray(K), jnp.asarray(d)
+                )
+            )
+            for e, K, d in cams
+        ]
+        all_uvs[1][0] = np.nan
+        all_uvs[2][0] = np.nan  # point 0: single view -> NaN out
+        exts = [e for e, _, _ in cams]
+        intr = [(K, d) for _, K, d in cams]
+        ref, sd = mct.triangulate(all_uvs, exts, intr, return_sd=True)
+        ref, sd = np.asarray(ref), np.asarray(sd)
+        assert np.all(np.isnan(ref[0])) and np.all(np.isnan(sd[0]))
+        np.testing.assert_allclose(ref[1:], pts[1:], atol=1e-4)
+
     def test_matches_reference_median_semantics(self, rng):
         # With noisy observations ours should match the reference's
         # nanmedian-over-pairs (numpy implementation) closely.
