@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.homography import fit_homography
 from ..ops.precision import with_highest_precision
-from ..ops.projection import undistort_points
+from ..ops.projection import distortion_valid_r2, undistort_points
 from ..ops.reductions import masked_median
 from ..ops.rotation import so3_log
 from ..ops.transforms import (
@@ -176,6 +176,29 @@ def intrinsics_from_homographies_fixed_pp(Hs, valid, image_size):
     return jnp.array(
         [[fx, 0.0, cx], [0.0, fy, cy], [0.0, 0.0, 1.0]], dtype=Hs.dtype
     )
+
+
+def _intrinsics_field_valid(cam6, image_size):
+    """True when a refined (fx,fy,cx,cy,k1,k2) solution is physically
+    usable over its own image field.
+
+    A planar self-calibration refine can reach a LOWER sample cost with an
+    absurd compensating pair (huge focal + huge k1): the radial model then
+    stops being invertible well inside the image (its distorted radius
+    turns over), i.e. the "solution" cannot even represent the pixels it
+    was fit to as a one-to-one camera. Gate basin selection on the radial
+    model staying monotonic out to the farthest image corner
+    (:func:`distortion_valid_r2`).
+    """
+    vals = [float(v) for v in np.asarray(cam6).reshape(-1)[:6]]
+    fx, fy, cx, cy, k1, k2 = vals
+    if not np.all(np.isfinite(vals)) or fx <= 0 or fy <= 0:
+        return False
+    w, h = float(image_size[0]), float(image_size[1])
+    r2_corner = max(
+        (x / fx) ** 2 for x in (cx, w - cx)
+    ) + max((y / fy) ** 2 for y in (cy, h - cy))
+    return distortion_valid_r2([k1, k2]) > r2_corner
 
 
 def poses_from_homographies(Hs, K):
@@ -407,7 +430,21 @@ def get_intrinsics(
         or float(pp_off) > 0.08
     ):
         cam_alt, cost_alt = refine(K0_pp)
-        if not np.isfinite(cost) or cost_alt < cost:
+        # Prefer by (field-valid, cost): a lower-cost solution whose radial
+        # model is not invertible over its own image field is a degenerate
+        # compensating-distortion fit, not a better basin.
+        pri_ok = np.isfinite(cost) and _intrinsics_field_valid(
+            cam_ref[0], image_size
+        )
+        alt_ok = np.isfinite(cost_alt) and _intrinsics_field_valid(
+            cam_alt[0], image_size
+        )
+        # Switch only to a VALID alt (lower cost, or primary invalid).
+        # When both basins are degenerate, keep the Zhang primary — the
+        # downstream spanning-tree/consensus/BA stages are what recover
+        # from a bad single-camera init, and the primary is the
+        # reference-parity default.
+        if alt_ok and (not pri_ok or cost_alt < cost):
             cam_ref, cost = cam_alt, cost_alt
 
     fx, fy, cx, cy, k1, k2 = (float(cam_ref[0, i]) for i in range(6))
@@ -530,8 +567,23 @@ def get_intrinsics_batch(
             K0_pp, Hs, uvs_s, mask_f, objpoints, opts
         )
         cam_alt, cost_alt = np.asarray(cam_alt), np.asarray(cost_alt)
+        # Same (field-valid, cost) preference as get_intrinsics.
+        pri_ok = np.array(
+            [
+                np.isfinite(cost[c])
+                and _intrinsics_field_valid(cam_ref[c], sizes_np[c])
+                for c in range(n_cameras)
+            ]
+        )
+        alt_ok = np.array(
+            [
+                np.isfinite(cost_alt[c])
+                and _intrinsics_field_valid(cam_alt[c], sizes_np[c])
+                for c in range(n_cameras)
+            ]
+        )
         with np.errstate(all="ignore"):
-            sel = flagged & (~np.isfinite(cost) | (cost_alt < cost))
+            sel = flagged & alt_ok & (~pri_ok | (cost_alt < cost))
         cam_ref[sel] = cam_alt[sel]
 
     out = []

@@ -56,6 +56,36 @@ class TestIntrinsics:
         # Single-camera calibration from 40 noisy frames: a few percent.
         assert abs(K[0, 0] - K_true[0, 0]) / K_true[0, 0] < 0.05
 
+    def test_field_validity_gate(self):
+        """The basin guard must never switch to a field-invalid alt: a
+        compensating fit (huge focal + huge k1/k2) can reach a LOWER sample
+        cost while its radial model stops being invertible inside the
+        image."""
+        sane = [900.0, 900.0, 320.0, 240.0, -0.12, 0.03]
+        degenerate = [1651.5, 1651.5, 320.0, 240.0, 25.5, -669.2]
+        assert init._intrinsics_field_valid(sane, (640, 480))
+        assert not init._intrinsics_field_valid(degenerate, (640, 480))
+        assert not init._intrinsics_field_valid([np.nan] * 6, (640, 480))
+        assert not init._intrinsics_field_valid(
+            [-900.0, 900.0, 320.0, 240.0, 0.0, 0.0], (640, 480)
+        )
+
+    def test_basin_guard_never_degrades_to_degenerate_fit(self):
+        """Regression (r2): on the 4-cam seed-5 rig, the weak-diversity
+        camera's alt refine reaches lower cost with k1=25/k2=-669 — an
+        un-invertible model the guard used to accept, collapsing the
+        pipeline (select_ba_frames kept 10/50 frames). The guard must keep
+        a usable init: whatever basin it picks, distortion stays physical
+        enough for downstream BA."""
+        r = mct.make_synthetic_rig(
+            n_cameras=4, n_frames=50, noise_px=0.4, dropout=0.2, seed=5
+        )
+        K, dist = init.get_intrinsics(
+            r.all_calib_uvs[2], r.calib_objpoints, r.img_sizes[2],
+            n_samples=20,
+        )
+        assert abs(dist[0]) < 2.0 and abs(dist[1]) < 20.0
+
     def test_batched_matches_sequential(self, rig):
         """get_intrinsics_batch == per-camera get_intrinsics (the TPU path
         must produce the same calibration the CPU loop does)."""
