@@ -282,15 +282,25 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
 
 
 _HOLE_TOLERANCE = 3
+# Occlusion escalation: when the standard pass yields NO window, a single
+# host-side retry relaxes the hole budget to this value (a clutter object
+# sitting ON the board can occlude a contiguous 4-6 corner block — no
+# saddle exists there at any scale, so neither candidate search nor the
+# coarse ladder can recover those cells; hard-frame bench frame 8).
+# Escalated windows still face every downstream gate (lattice smoothness,
+# anchor margin >= match_score_min_diff), which is what keeps a relaxed
+# budget from admitting shifted/clutter windows.
+_HOLE_TOLERANCE_OCCLUDED = 5
 
 
-def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
+def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
     """Score-filter, dedup, pitch estimate, and seeded BFS lattice growth —
     the numpy reference path (also the parity oracle for the C++ port in
     native/src/lattice.cc). Returns ``(pts, sc, pitch, grid)``: the deduped
     candidates in descending-score order (the index space of ``grid``'s
     values) and the grown lattice dict, or ``grid=None`` when no lattice
     was found."""
+    hole_budget = _HOLE_TOLERANCE if max_holes is None else int(max_holes)
     # True corners score in a tight band well above clutter (saddle response
     # is contrast-normalized in practice); threshold relative to the n-th
     # strongest so the cut adapts to the scene.
@@ -440,11 +450,11 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
                         new_frontier.append(tgt)
             frontier = new_frontier
         real = {c: idx for c, idx in grid.items() if idx >= 0}
-        # Up to _HOLE_TOLERANCE lattice holes are tolerated downstream
-        # (window cells filled by homography prediction) — requiring a full
+        # Up to max_holes lattice holes are tolerated downstream (window
+        # cells filled by homography prediction) — requiring a full
         # n_needed here would veto exactly the grids the hole tolerance
         # exists for.
-        return real if len(real) >= n_needed - _HOLE_TOLERANCE else None
+        return real if len(real) >= n_needed - hole_budget else None
 
     grid = None
     for seed in seed_order[:5]:
@@ -454,20 +464,23 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol):
     return pts, sc, pitch, grid
 
 
-def _grow_lattice(pts, sc, n_needed, pitch_tol):
+def _grow_lattice(pts, sc, n_needed, pitch_tol, max_holes=None):
     """Native (C++) lattice growth when the runtime is available, numpy
-    otherwise — identical results (tests/test_native_lattice.py)."""
-    from . import native_lattice
+    otherwise — identical results (tests/test_native_lattice.py). The C++
+    port bakes in the default hole budget; a non-default ``max_holes``
+    (the rare occlusion-escalation retry) takes the numpy path."""
+    if max_holes is None or max_holes == _HOLE_TOLERANCE:
+        from . import native_lattice
 
-    res = native_lattice.grow_lattice(pts, sc, n_needed, pitch_tol)
-    if res is not None:
-        return res
-    return _grow_lattice_numpy(pts, sc, n_needed, pitch_tol)
+        res = native_lattice.grow_lattice(pts, sc, n_needed, pitch_tol)
+        if res is not None:
+            return res
+    return _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes)
 
 
 def order_grid_points(
     candidates, scores, board_shape, pitch_tol=0.35, refined=True,
-    position_jitter=0.5, n_windows=1, return_masks=False,
+    position_jitter=0.5, n_windows=1, return_masks=False, max_holes=None,
 ):
     """Assemble the (rows x cols) chessboard lattice from corner candidates.
 
@@ -483,15 +496,20 @@ def order_grid_points(
     where ``constructed`` is a (rows*cols,) bool marking cells that were
     homography-predicted (holes / weak pseudo-corners) rather than measured
     — downstream validation exempts them from the outlier criteria.
+    ``max_holes`` overrides the default hole budget (``_HOLE_TOLERANCE``)
+    for the occlusion-escalation retry.
     """
     rows, cols = board_shape
     n_needed = rows * cols
+    hole_budget = _HOLE_TOLERANCE if max_holes is None else int(max_holes)
     _empty = None if n_windows == 1 else []
     pts = np.asarray(candidates, dtype=float)
     sc = np.asarray(scores, dtype=float)
     if len(pts) < n_needed:
         return _empty
-    pts, sc, pitch, grid = _grow_lattice(pts, sc, n_needed, pitch_tol)
+    pts, sc, pitch, grid = _grow_lattice(
+        pts, sc, n_needed, pitch_tol, max_holes
+    )
     if grid is None:
         return _empty
 
@@ -516,7 +534,7 @@ def order_grid_points(
                 # the number of holes, so windows already over the
                 # tolerance skip the score/median work (this loop
                 # enumerates hundreds of positions on clutter-grown grids).
-                if len(cells) - len(present) > _HOLE_TOLERANCE:
+                if len(cells) - len(present) > hole_budget:
                     continue
                 cell_sc = np.array([sc[grid[c]] for c in present])
                 # Cells whose saddle score sits far below the window's own
@@ -538,7 +556,7 @@ def order_grid_points(
                 # prediction below; complete windows always outrank holed
                 # ones, and shifted windows carry >= 5 pseudo-corners so
                 # the tolerance never admits them.
-                if n_missing > _HOLE_TOLERANCE:
+                if n_missing > hole_budget:
                     continue
                 good_sc = cell_sc[~weak]
                 windows.append(
@@ -941,6 +959,27 @@ def _grid_smoothness_ok(uv_grid, constructed=None, win=5):
     # global fit + the tight re-refine clamp), but not exempt — a filled
     # cell whose refinement wandered off in noise must still be caught.
     return res[con].max() <= max(4.0 * med, 2.5, 0.5 * win)
+
+
+def _settle_constructed(refined, predicted, constructed, tol=1.5):
+    """Resolve constructed (hole-filled) cells after subpixel refinement.
+
+    A hole whose corner merely fell out of the candidate top-K has a real
+    saddle: refinement started at the homography prediction converges a
+    sub-pixel distance away, and the refined position is the better
+    measurement. An OCCLUDED hole has no saddle — refinement wanders up to
+    ``max_drift`` toward whatever gradient structure the occluder offers.
+    Keep the refined position only where it settled within ``tol`` px of
+    the prediction; restore the homography prediction otherwise.
+    """
+    refined = np.asarray(refined, float)
+    predicted = np.asarray(predicted, float)
+    con = np.asarray(constructed, bool)
+    if not con.any():
+        return refined
+    drift = np.linalg.norm(refined - predicted, axis=-1)
+    restore = con & (drift > tol)
+    return np.where(restore[..., None], predicted, refined)
 
 
 def _repair_grid(uv_grid, max_outliers=3, constructed=None):
@@ -1410,6 +1449,15 @@ def detect_chessboard(
         position_jitter=0.5 / scale_factor, n_windows=_N_WINDOW_HYPOTHESES,
         return_masks=True,
     )
+    if not wins:
+        # Occlusion escalation (see _batch_finish): relaxed hole budget,
+        # same downstream smoothness/anchor gates.
+        wins = order_grid_points(
+            cand, sc, board_shape, refined=False,
+            position_jitter=0.5 / scale_factor,
+            n_windows=_N_WINDOW_HYPOTHESES, return_masks=True,
+            max_holes=_HOLE_TOLERANCE_OCCLUDED,
+        )
 
     def consider(uvs, cmask, best_pick):
         """Validate + anchor-arbitrate one refined window; returns the
@@ -1436,7 +1484,9 @@ def detect_chessboard(
         refined_full = _refine_points(
             gray[None], jnp.asarray(uvs0[None], dtype=jnp.float32), win_size
         )
-        uvs = np.asarray(refined_full[0])
+        uvs = _settle_constructed(
+            np.asarray(refined_full[0]), np.asarray(uvs0, float), cmask
+        )
         refined_wins.append((uvs, cmask))
         best_pick = consider(uvs, cmask, best_pick)
         if isinstance(best_pick, tuple) and best_pick[0] == "done":
@@ -1762,6 +1812,16 @@ def _batch_finish(
                 xy[i], score[i], board_shape, refined=False, n_windows=NW,
                 return_masks=True,
             )
+            if not wins:
+                # Occlusion escalation: an object ON the board can hide a
+                # contiguous >3-corner block that no candidate pass can
+                # recover. One relaxed-budget retry; the smoothness and
+                # anchor-margin gates below still arbitrate acceptance.
+                wins = order_grid_points(
+                    xy[i], score[i], board_shape, refined=False,
+                    n_windows=NW, return_masks=True,
+                    max_holes=_HOLE_TOLERANCE_OCCLUDED,
+                )
             for h, (uvs, mask) in enumerate(wins):
                 hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
                 con[i, h] = np.asarray(mask).reshape(cols, rows)
@@ -1778,9 +1838,10 @@ def _batch_finish(
         g1, s1 = score_at(np.array(fb), hyp[np.array(fb), 0])
         retry = []
         for j, i in enumerate(fb):
-            grids1[i] = (g1[j], s1[j])
+            g1j = _settle_constructed(g1[j], hyp[i, 0], con[i, 0])
+            grids1[i] = (g1j, s1[j])
             if (
-                not pick(i, g1[j][None], s1[j][None], 1, out, con[i, 0:1])
+                not pick(i, g1j[None], s1[j][None], 1, out, con[i, 0:1])
                 and n_hyp[i] > 1
             ):
                 retry.append(i)
@@ -1791,8 +1852,16 @@ def _batch_finish(
             )
             for j, i in enumerate(retry):
                 sl = slice(j * (NW - 1), (j + 1) * (NW - 1))
-                grids2[i] = (g2[sl], s2[sl])
-                pick(i, g2[sl], s2[sl], int(n_hyp[i]) - 1, out, con[i, 1:])
+                g2s = np.stack(
+                    [
+                        _settle_constructed(
+                            g2[sl][h], hyp[i, 1 + h], con[i, 1 + h]
+                        )
+                        for h in range(NW - 1)
+                    ]
+                )
+                grids2[i] = (g2s, s2[sl])
+                pick(i, g2s, s2[sl], int(n_hyp[i]) - 1, out, con[i, 1:])
 
     # Repair phase (last resort, failed frames only): the dominant hard-
     # frame failure is the CORRECT window vetoed by the strict lattice

@@ -222,6 +222,39 @@ class TestRealisticImagery:
                 d = np.linalg.norm(det[0][:, None] - gt[None], axis=-1)
                 assert d.min(0).mean() < 5.0
 
+    def test_occlusion_escalation_rescues_occluded_block(self):
+        """Hard-set frame 8: clutter occludes a contiguous 5-corner block
+        (no saddle exists there at any scale — unrescuable by candidate
+        search or the coarse ladder). The relaxed-hole-budget retry must
+        detect it accurately, with occluded cells settled back onto their
+        homography predictions rather than wandered refinements."""
+        rng = np.random.default_rng(108)
+        H = random_view_homography(rng, board_shape=BOARD)
+        view, gt = render_board_view(
+            H, out_size=(480, 640), board_shape=BOARD, noise=2.0, seed=8,
+            **HARD_KW,
+        )
+        det = mct.detect_chessboard(view.astype(np.uint8), board_shape=BOARD)
+        assert det is not None, "escalation should rescue the occluded frame"
+        d = np.linalg.norm(np.asarray(det[0])[:, None] - gt[None], axis=-1)
+        assert d.min(0).mean() < 1.0
+        assert d.min(0).max() < 2.5  # filled cells stay homography-close
+
+    def test_settle_constructed_keeps_converged_restores_wandered(self):
+        from multicam_calibration_tpu.detection.detector import (
+            _settle_constructed,
+        )
+
+        pred = np.zeros((4, 2))
+        refined = np.array(
+            [[0.4, 0.3], [2.5, 1.5], [2.8, 0.0], [0.2, -0.1]]
+        )
+        con = np.array([True, True, False, False])
+        out = _settle_constructed(refined, pred, con, tol=1.5)
+        np.testing.assert_allclose(out[0], refined[0])  # converged: kept
+        np.testing.assert_allclose(out[1], pred[1])  # wandered: restored
+        np.testing.assert_allclose(out[2:], refined[2:])  # measured: kept
+
     def test_subpix_winsize_forwarded(self):
         """subpix_winSize must actually change the refinement (ADVICE r1:
         it was accepted and dropped)."""
