@@ -283,14 +283,21 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
 
 _HOLE_TOLERANCE = 3
 # Occlusion escalation: when the standard pass yields NO window, a single
-# host-side retry relaxes the hole budget to this value (a clutter object
-# sitting ON the board can occlude a contiguous 4-6 corner block — no
-# saddle exists there at any scale, so neither candidate search nor the
-# coarse ladder can recover those cells; hard-frame bench frame 8).
-# Escalated windows still face every downstream gate (lattice smoothness,
-# anchor margin >= match_score_min_diff), which is what keeps a relaxed
-# budget from admitting shifted/clutter windows.
+# host-side retry relaxes the hole budget (a clutter object sitting ON the
+# board can occlude a contiguous 4-6 corner block — no saddle exists there
+# at any scale, so neither candidate search nor the coarse ladder can
+# recover those cells; hard-frame bench frame 8). Escalated windows still
+# face every downstream gate (lattice smoothness, anchor margin >=
+# match_score_min_diff), which is what keeps a relaxed budget from
+# admitting shifted/clutter windows. The budget scales with board size
+# (capped at 1/7 of the corners) so small boards — where 5 holes would be
+# a third of the lattice and the gates lose discriminating power — never
+# escalate past the standard tolerance.
 _HOLE_TOLERANCE_OCCLUDED = 5
+
+
+def _escalated_hole_budget(n_corners):
+    return min(_HOLE_TOLERANCE_OCCLUDED, max(_HOLE_TOLERANCE, n_corners // 7))
 
 
 def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
@@ -1449,14 +1456,15 @@ def detect_chessboard(
         position_jitter=0.5 / scale_factor, n_windows=_N_WINDOW_HYPOTHESES,
         return_masks=True,
     )
-    if not wins:
+    esc_budget = _escalated_hole_budget(board_shape[0] * board_shape[1])
+    if not wins and esc_budget > _HOLE_TOLERANCE:
         # Occlusion escalation (see _batch_finish): relaxed hole budget,
         # same downstream smoothness/anchor gates.
         wins = order_grid_points(
             cand, sc, board_shape, refined=False,
             position_jitter=0.5 / scale_factor,
             n_windows=_N_WINDOW_HYPOTHESES, return_masks=True,
-            max_holes=_HOLE_TOLERANCE_OCCLUDED,
+            max_holes=esc_budget,
         )
 
     def consider(uvs, cmask, best_pick):
@@ -1812,7 +1820,7 @@ def _batch_finish(
                 xy[i], score[i], board_shape, refined=False, n_windows=NW,
                 return_masks=True,
             )
-            if not wins:
+            if not wins and _escalated_hole_budget(rows * cols) > _HOLE_TOLERANCE:
                 # Occlusion escalation: an object ON the board can hide a
                 # contiguous >3-corner block that no candidate pass can
                 # recover. One relaxed-budget retry; the smoothness and
@@ -1820,7 +1828,7 @@ def _batch_finish(
                 wins = order_grid_points(
                     xy[i], score[i], board_shape, refined=False,
                     n_windows=NW, return_masks=True,
-                    max_holes=_HOLE_TOLERANCE_OCCLUDED,
+                    max_holes=_escalated_hole_budget(rows * cols),
                 )
             for h, (uvs, mask) in enumerate(wins):
                 hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
