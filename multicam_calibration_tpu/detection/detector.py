@@ -1820,16 +1820,6 @@ def _batch_finish(
                 xy[i], score[i], board_shape, refined=False, n_windows=NW,
                 return_masks=True,
             )
-            if not wins and _escalated_hole_budget(rows * cols) > _HOLE_TOLERANCE:
-                # Occlusion escalation: an object ON the board can hide a
-                # contiguous >3-corner block that no candidate pass can
-                # recover. One relaxed-budget retry; the smoothness and
-                # anchor-margin gates below still arbitrate acceptance.
-                wins = order_grid_points(
-                    xy[i], score[i], board_shape, refined=False,
-                    n_windows=NW, return_masks=True,
-                    max_holes=_escalated_hole_budget(rows * cols),
-                )
             for h, (uvs, mask) in enumerate(wins):
                 hyp[i, h] = np.asarray(uvs).reshape(cols, rows, 2)
                 con[i, h] = np.asarray(mask).reshape(cols, rows)
@@ -1938,6 +1928,55 @@ def _batch_finish(
                     i, gridc_h[j][None], s4c_h[j][None], 1, out,
                     win=max(win_size, c_win),
                 )
+
+    # Occlusion escalation (after the coarse ladder — a blurred frame
+    # deserves its complete coarse-scale window, not a holed fine-scale
+    # one): an object ON the board occludes a contiguous >3-corner block
+    # that no candidate pass at any scale can recover. Re-run the host
+    # ordering with a relaxed hole budget for frames that failed everything
+    # above; escalated windows face the same refine + smoothness + anchor
+    # gates, with constructed cells settled back onto their homography
+    # predictions where refinement had no saddle to converge to.
+    esc_budget = _escalated_hole_budget(rows * cols)
+    failed3 = [i for i in range(B) if i not in out]
+    if failed3 and esc_budget > _HOLE_TOLERANCE:
+        if not fallback:
+            xy = np.asarray(xy_d)
+            score = np.asarray(score_d)
+        entries = []
+        for i in failed3:
+            wins = order_grid_points(
+                xy[i], score[i], board_shape, refined=False, n_windows=NW,
+                return_masks=True, max_holes=esc_budget,
+            )
+            for uvs, mask in wins:
+                entries.append(
+                    (
+                        i,
+                        np.asarray(uvs).reshape(cols, rows, 2),
+                        np.asarray(mask).reshape(cols, rows),
+                    )
+                )
+        if entries:
+            idx = np.array([e[0] for e in entries])
+            esc_grids = np.stack([e[1] for e in entries])
+            esc_masks = np.stack([e[2] for e in entries])
+            grids_e, scores_e = score_at(idx, esc_grids)
+            for i in failed3:
+                rows_i = np.nonzero(idx == i)[0]
+                if len(rows_i):
+                    g_set = np.stack(
+                        [
+                            _settle_constructed(
+                                grids_e[r], esc_grids[r], esc_masks[r]
+                            )
+                            for r in rows_i
+                        ]
+                    )
+                    pick(
+                        i, g_set, scores_e[rows_i], len(rows_i), out,
+                        esc_masks[rows_i],
+                    )
 
     # Normalized-anchor rescue (last resort, near-miss frames only): a
     # perfect grid under hard vignetting can fail ONLY the anchor margin —
