@@ -228,6 +228,24 @@ def triangulate(all_uvs, all_extrinsics, all_intrinsics, refine=False,
       per-point standard errors from the GN covariance.
     """
     refine = refine or return_sd
+    uvs, Ks, dists, exts, r2_maxs = _prep_triangulate_inputs(
+        all_uvs, all_extrinsics, all_intrinsics
+    )
+    out = _triangulate_impl(uvs, Ks, dists, exts, r2_maxs, refine=refine)
+    if not refine:
+        return out
+    pts, sd = out
+    return (pts, sd) if return_sd else pts
+
+
+def _prep_triangulate_inputs(all_uvs, all_extrinsics, all_intrinsics):
+    """Stack the reference-parity list inputs into device arrays.
+
+    Returns ``(uvs (C,...,2), Ks (C,3,3), dists (C,5), exts (C,6),
+    r2_maxs (C,))``. The monotonic-validity bound needs concrete
+    coefficients — computed host-side from the caller's intrinsics and
+    passed in as data.
+    """
     uvs = jnp.stack([jnp.asarray(u) for u in all_uvs])
     Ks = jnp.stack(
         [jnp.asarray(k, dtype=uvs.dtype) for k, _ in all_intrinsics]
@@ -236,23 +254,16 @@ def triangulate(all_uvs, all_extrinsics, all_intrinsics, refine=False,
     for i, (_, d) in enumerate(all_intrinsics):
         d = np.asarray(d, dtype=float).reshape(-1)[:5]
         dists_np[i, : d.shape[0]] = d
-    # The monotonic-validity bound needs concrete coefficients — computed
-    # host-side from the caller's intrinsics, passed in as data.
     r2_maxs = np.array([distortion_valid_r2(d) for d in dists_np])
     exts = jnp.stack(
         [jnp.asarray(e, dtype=uvs.dtype) for e in all_extrinsics]
     )
-    out = _triangulate_impl(
+    return (
         uvs,
         Ks,
         jnp.asarray(dists_np, dtype=uvs.dtype),
         exts,
         jnp.asarray(r2_maxs, dtype=uvs.dtype),
-        refine=refine,
     )
-    if not refine:
-        return out
-    pts, sd = out
-    return (pts, sd) if return_sd else pts
 
 

@@ -6,7 +6,7 @@ iteration communication is a psum of the reduced (12C)^2 camera system +
 scalar cost — a few MB over ICI even at 64 cameras.
 """
 from .mesh import make_frame_mesh
-from .sharded import sharded_lm_solve
+from .sharded import sharded_lm_solve, sharded_triangulate
 from .input_pipeline import (
     assign_videos_to_host,
     distributed_calibration_detection,
@@ -17,6 +17,7 @@ from .input_pipeline import (
 __all__ = [
     "make_frame_mesh",
     "sharded_lm_solve",
+    "sharded_triangulate",
     "assign_videos_to_host",
     "distributed_calibration_detection",
     "gather_detections",

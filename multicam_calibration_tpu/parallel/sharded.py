@@ -16,8 +16,9 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..models.lm_core import LMOptions, lm_solve
+from ..ops.triangulation import _prep_triangulate_inputs, _triangulate_impl
 
-__all__ = ["sharded_lm_solve"]
+__all__ = ["sharded_lm_solve", "sharded_triangulate"]
 
 
 @functools.lru_cache(maxsize=32)
@@ -102,3 +103,56 @@ def sharded_lm_solve(
         init_lam_arg,
     )
     return cam, poses[:F], info
+
+
+def sharded_triangulate(
+    all_uvs,
+    all_extrinsics,
+    all_intrinsics,
+    mesh=None,
+    axis_name="points",
+    refine=False,
+    return_sd=False,
+):
+    """Points-sharded robust triangulation for large keypoint clouds.
+
+    Same semantics and arguments as :func:`multicam_calibration_tpu.
+    triangulate` (reference geometry.py:361-433 parity plus the
+    ``refine``/``return_sd`` extensions), with the POINTS axis sharded over
+    ``mesh[axis_name]``. Every stage — undistortion, pair DLT, masked
+    median, the optional GN polish — is elementwise over points, so XLA
+    partitions the whole program with ZERO collectives: scaling is linear
+    in devices up to the HBM-bandwidth roofline. Points are NaN-padded to
+    a multiple of the mesh size (padded outputs are NaN and trimmed).
+    """
+    if mesh is None:
+        from .mesh import make_frame_mesh
+
+        mesh = make_frame_mesh(axis_name=axis_name)
+    refine = refine or return_sd
+    uvs, Ks, dists, exts, r2_maxs = _prep_triangulate_inputs(
+        all_uvs, all_extrinsics, all_intrinsics
+    )
+    if uvs.ndim != 3:
+        raise ValueError(
+            "sharded_triangulate expects (C, n_points, 2) observations"
+        )
+    n_dev = mesh.shape[axis_name]
+    n = uvs.shape[1]
+    pad = (-n) % n_dev
+    if pad:
+        uvs = jnp.concatenate(
+            [uvs, jnp.full((uvs.shape[0], pad, 2), jnp.nan, uvs.dtype)],
+            axis=1,
+        )
+    sharding = jax.sharding.NamedSharding(mesh, P(None, axis_name, None))
+    uvs = jax.device_put(uvs, sharding)
+    rep = jax.sharding.NamedSharding(mesh, P())
+    Ks, dists, exts, r2_maxs = (
+        jax.device_put(a, rep) for a in (Ks, dists, exts, r2_maxs)
+    )
+    out = _triangulate_impl(uvs, Ks, dists, exts, r2_maxs, refine=refine)
+    if not refine:
+        return out[:n]
+    pts, sd = out
+    return (pts[:n], sd[:n]) if return_sd else pts[:n]

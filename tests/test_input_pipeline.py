@@ -98,3 +98,43 @@ def test_distributed_detection_single_process(tmp_path):
         paths, mct.detect_chessboard, {"board_shape": BOARD}
     )
     assert uvs.shape[:2] == (2, 3)
+
+
+def test_sharded_triangulate_matches_single_device():
+    """Points-sharded triangulation == the single-device path, exactly the
+    same outputs (no collectives: every stage is elementwise over points),
+    including NaN semantics, with a point count that does NOT divide the
+    8-device mesh (padding trim)."""
+    from multicam_calibration_tpu.parallel import sharded_triangulate
+
+    rng = np.random.default_rng(3)
+    rig = mct.make_synthetic_rig(
+        n_cameras=4, n_frames=10, noise_px=0.0, dropout=0.0, seed=3
+    )
+    pts = rng.standard_normal((203, 3)) * 30 + rig.calib_poses[:, 3:].mean(0)
+    uvs = [
+        np.asarray(
+            mct.project_points(pts, rig.all_extrinsics[c], *rig.all_intrinsics[c])
+        )
+        + rng.standard_normal((203, 2)) * 0.3
+        for c in range(4)
+    ]
+    uvs[1][:5] = np.nan
+    uvs[2][3:6] = np.nan  # point 3,4: <=2 views on some, point 5 mixed
+    exts = list(rig.all_extrinsics)
+    intr = list(rig.all_intrinsics)
+
+    mesh = make_frame_mesh(axis_name="points")
+    single = np.asarray(mct.triangulate(uvs, exts, intr))
+    shard = np.asarray(sharded_triangulate(uvs, exts, intr, mesh=mesh))
+    assert shard.shape == (203, 3)
+    np.testing.assert_allclose(shard, single, rtol=1e-10, atol=1e-10)
+
+    s_ref, s_sd = mct.triangulate(uvs, exts, intr, return_sd=True)
+    p_ref, p_sd = sharded_triangulate(uvs, exts, intr, mesh=mesh, return_sd=True)
+    np.testing.assert_allclose(
+        np.asarray(p_ref), np.asarray(s_ref), rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sd), np.asarray(s_sd), rtol=1e-9, atol=1e-9
+    )
