@@ -6,7 +6,9 @@ set -u
 mkdir -p /tmp/tpu_battery
 cd /root/repo
 while true; do
-  timeout 600 python -c "
+  # -k: the axon backend hangs inside C-grpc where SIGTERM is ignored
+  # (same reason bench.py uses a SIGKILL watchdog ladder).
+  timeout -k 30 600 python -c "
 import jax
 d = jax.devices()
 import jax.numpy as jnp
@@ -15,15 +17,15 @@ print('TPU-UP', d)
 " > /tmp/tpu_battery/probe.log 2>&1
   if grep -q TPU-UP /tmp/tpu_battery/probe.log; then
     echo "$(date -u +%FT%TZ) axon up — running battery" >> /tmp/tpu_battery/status.log
-    timeout 3600 python bench.py > /tmp/tpu_battery/bench.log 2>&1
+    timeout -k 60 3600 python bench.py > /tmp/tpu_battery/bench.log 2>&1
     echo "bench rc=$?" >> /tmp/tpu_battery/status.log
-    timeout 3600 python scripts/bench_detection.py > /tmp/tpu_battery/detection.log 2>&1
+    timeout -k 60 3600 python scripts/bench_detection.py > /tmp/tpu_battery/detection.log 2>&1
     echo "detection rc=$?" >> /tmp/tpu_battery/status.log
-    timeout 5400 python scripts/bench_sweep.py > /tmp/tpu_battery/sweep.log 2>&1
+    timeout -k 60 5400 python scripts/bench_sweep.py > /tmp/tpu_battery/sweep.log 2>&1
     echo "sweep rc=$?" >> /tmp/tpu_battery/status.log
-    timeout 3600 python scripts/profile_detection_stages.py > /tmp/tpu_battery/det_stages.log 2>&1
+    timeout -k 60 3600 python scripts/profile_detection_stages.py > /tmp/tpu_battery/det_stages.log 2>&1
     echo "det_stages rc=$?" >> /tmp/tpu_battery/status.log
-    timeout 3600 python scripts/profile_lm_stages.py > /tmp/tpu_battery/lm_stages.log 2>&1
+    timeout -k 60 3600 python scripts/profile_lm_stages.py > /tmp/tpu_battery/lm_stages.log 2>&1
     echo "lm_stages rc=$?" >> /tmp/tpu_battery/status.log
     echo "$(date -u +%FT%TZ) battery done" >> /tmp/tpu_battery/status.log
     exit 0
