@@ -51,6 +51,13 @@ def problem():
 @pytest.mark.parametrize("chunk", [16, 7])  # 7 does not divide F -> padding
 def test_chunked_blocks_match_dense(problem, chunk):
     p = problem
+    # Premise guard: with F <= chunk the builder takes the unchunked
+    # early-exit and the layout reshapes below scramble W. F collapsing
+    # here means the INIT degraded (r2: a degenerate intrinsics basin cut
+    # select_ba_frames from 47 to 10 frames) — fail loudly on the cause.
+    assert p["poses0"].shape[0] > chunk, (
+        "fixture selected too few frames — init quality regression?"
+    )
     opts_d = LMOptions()
     opts_c = LMOptions(frame_chunk=chunk)
     bd = build_normal_blocks(
