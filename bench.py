@@ -45,11 +45,12 @@ def main():
         raise TimeoutError("backend init/compile timed out (axon unreachable)")
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(420)  # backend init: hangs fail fast
+    signal.alarm(int(os.environ.get("MCC_BENCH_INIT_ALARM", "240")))
     jax.devices()
-    # Whole-run budget: generous enough for fresh f64 remote compiles
-    # (~7 min/program), far shorter than "hang forever".
-    signal.alarm(2400)
+    # Whole-run budget (parent window minus a margin so the in-process
+    # TimeoutError — which produces a useful message — fires before the
+    # parent's SIGKILL).
+    signal.alarm(int(os.environ.get("MCC_BENCH_RUN_ALARM", "840")))
 
     # f64 end-to-end: the damped BA system needs f64 step accuracy to reach
     # the reference's cost basin reliably — f32 trajectories stall at
@@ -242,28 +243,38 @@ def main():
                 quality_ok = bool(final_cost <= ref["cost"] * 1.05)
             vs_baseline = ref["wall_s"] / wall if quality_ok else 0.0
 
-    print(
-        json.dumps(
-            {
-                "metric": "ba_lm_iterations_per_s",
-                "value": round(iters_per_s, 3),
-                "unit": "iter/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "detail": {
-                    "workload": f"{N_CAMERAS}cam x {N_FRAMES}frames x 35pts",
-                    "wall_s": round(wall, 4),
-                    "n_iters": n_iters,
-                    "final_cost": round(final_cost, 2),
-                    "final_rmse_px": round(rmse, 4),
-                    "quality_vs_ref_ok": quality_ok,
-                    "identical_problem_to_ref": identical_problem,
-                    "n_frames_used": int(len(use_frames)),
-                    "platform": jax.default_backend(),
-                    "flops": flops_detail,
-                },
-            }
+    result = {
+        "metric": "ba_lm_iterations_per_s",
+        "value": round(iters_per_s, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "detail": {
+            "workload": f"{N_CAMERAS}cam x {N_FRAMES}frames x 35pts",
+            "wall_s": round(wall, 4),
+            "n_iters": n_iters,
+            "final_cost": round(final_cost, 2),
+            "final_rmse_px": round(rmse, 4),
+            "quality_vs_ref_ok": quality_ok,
+            "identical_problem_to_ref": identical_problem,
+            "n_frames_used": int(len(use_frames)),
+            "platform": jax.default_backend(),
+            "flops": flops_detail,
+        },
+    }
+    line = json.dumps(result)
+    # Redundant local record (the driver captures stdout; BENCH_LAST.json
+    # survives even if that capture is lost or the parent is killed after
+    # this point).
+    try:
+        last = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
         )
-    )
+        with open(last + ".tmp", "w") as f:
+            f.write(line + "\n")
+        os.replace(last + ".tmp", last)
+    except OSError:
+        pass
+    print(line)
 
 
 def _is_transient(exc):
@@ -284,13 +295,40 @@ def _is_transient(exc):
     return any(n in msg for n in needles)
 
 
+def _probe():
+    """Cheap TPU liveness probe: backend init + one tiny f32 program,
+    materialized to host. Completes in ~30-60 s when axon is healthy;
+    hangs (and gets SIGKILLed by the parent) when it is down. Runs NO f64
+    and none of the bench programs, so a pass means 'the tunnel answers',
+    not 'the bench will be fast'."""
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("probe: backend init/compile timed out")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("MCC_BENCH_INIT_ALARM", "240")))
+    import jax
+    import jax.numpy as jnp
+
+    jax.devices()
+    x = jnp.ones((128, 128), jnp.float32)
+    val = float(np.asarray((x @ x).sum()))
+    sys.stderr.write(
+        f"bench: probe ok ({jax.default_backend()}, {val:.0f})\n"
+    )
+    return 0
+
+
 def _child():
     """One bench attempt in this process. The in-process SIGALRM watchdog
     is best-effort only (a hang inside a C/grpc call never returns to the
     bytecode loop, so the Python handler cannot run — observed during the
-    2026-08-17 axon outage); the PARENT's subprocess timeout is the real
+    2026-08-17 axon outage); the PARENT's subprocess SIGKILL is the real
     defense."""
     try:
+        if os.environ.get("MCC_BENCH_PROBE"):
+            return _probe()
         main()
         return 0
     except Exception as e:  # noqa: BLE001 - last line of defense
@@ -300,39 +338,60 @@ def _child():
         return 17  # transient: the parent ladder decides what to try next
 
 
+def _attempt(extra_env, tmo, label):
+    """Run one killable child attempt; returns its rc (124 on timeout).
+    subprocess.run(timeout=...) SIGKILLs the child on expiry, which is the
+    only thing that reliably stops a C-level hang."""
+    import subprocess
+
+    env = dict(os.environ, MCC_BENCH_CHILD="1", **extra_env)
+    try:
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env, timeout=tmo
+        ).returncode
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench: {label} timed out after {tmo}s (killed)\n")
+        rc = 124
+    if rc not in (0, 17, 124):
+        sys.stderr.write(f"bench: {label} failed hard (rc={rc})\n")
+    return rc
+
+
 if __name__ == "__main__":
     if os.environ.get("MCC_BENCH_CHILD"):
         sys.exit(_child())
 
-    # Parent watchdog ladder: the axon backend's observed failure modes are
-    # both transient ERRORS (UNAVAILABLE) and INDEFINITE HANGS in C calls
-    # that no in-process mechanism can interrupt. Each attempt runs in a
-    # killable subprocess (stdout passes through, so the driver still reads
-    # the one JSON line); on timeout or transient failure, retry once on
-    # the TPU, then record an honest platform=cpu result rather than none.
-    import subprocess
-
-    # First TPU window is generous (fresh f64 remote compiles run ~7 min
-    # each); a second failure usually means down-hard, so its window is
-    # short before conceding to the CPU fallback.
-    plan = [({}, 1800), ({}, 600), ({"MCC_BENCH_FORCE_CPU": "1"}, 2400)]
-    rc = 1
-    for k, (extra_env, tmo) in enumerate(plan):
-        env = dict(os.environ, MCC_BENCH_CHILD="1", **extra_env)
-        try:
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                timeout=tmo,
-            ).returncode
-        except subprocess.TimeoutExpired:
-            sys.stderr.write(
-                f"bench: attempt {k} timed out after {tmo}s (killed)\n"
-            )
-            rc = 124
+    # Parent watchdog ladder, restructured after round 2 recorded NOTHING
+    # (the generous 1800s+600s TPU retries on a down axon blew the driver's
+    # budget before the CPU fallback started — BENCH_r02.json rc=124):
+    #
+    #   1. PROBE  (<=300 s): tiny f32 program on the default backend. The
+    #      axon failure mode is an indefinite hang, so a cheap liveness
+    #      check is the only safe way to decide whether the full attempt
+    #      is worth its window.
+    #   2. FULL   (<=900 s): the real bench, only if the probe passed.
+    #   3. CPU    (<=600 s): honest platform=cpu fallback (measured ~170 s
+    #      end-to-end) whenever 1 or 2 failed. ALWAYS records a result.
+    #
+    # Worst case 300+900+600 = 30 min, inside the driver budget; healthy
+    # case ~60 s probe + full run. Every success also writes
+    # BENCH_LAST.json (see main()).
+    rc = _attempt({"MCC_BENCH_PROBE": "1"}, 300, "probe")
+    if rc == 0:
+        rc = _attempt(
+            {"MCC_BENCH_INIT_ALARM": "240", "MCC_BENCH_RUN_ALARM": "840"},
+            900,
+            "tpu attempt",
+        )
         if rc == 0:
-            break
-        if rc not in (17, 124):  # real (non-transient) child failure
-            break
-        if k + 1 < len(plan):
-            time.sleep(20.0)
+            sys.exit(0)
+    rc = _attempt(
+        {
+            "MCC_BENCH_FORCE_CPU": "1",
+            "MCC_BENCH_INIT_ALARM": "120",
+            "MCC_BENCH_RUN_ALARM": "540",
+        },
+        600,
+        "cpu fallback",
+    )
     sys.exit(rc)

@@ -40,7 +40,7 @@ from jax import lax
 
 from ..ops.precision import with_highest_precision
 from ..ops.projection import distort_normalized
-from ..ops.rotation import so3_exp
+from ..ops.rotation import so3_exp, so3_left_jacobian
 
 __all__ = [
     "LMOptions",
@@ -157,6 +157,21 @@ class LMOptions:
     # Observation-sparse in effect: unobserved (camera, frame) pairs cost
     # FLOPs inside a chunk but never persist blocks.
     frame_chunk: int | None = None
+    # Jacobian construction. "analytic": closed-form chain-rule blocks
+    # computed batched over (C, F, N) in one shot — ~18x fewer FLOPs than
+    # the 18-tangent jacfwd (each tangent re-runs ~the primal) and the
+    # U/V/W assembly becomes full-contraction einsums (contraction axes
+    # F*N*2 / C*N*2 instead of per-(c,f) N*2=70-wide matmuls), the MXU-
+    # friendly shape the r2 verdict demanded. "jacfwd": the original
+    # per-(c,f) jax.jacfwd path, kept as the autodiff oracle the analytic
+    # blocks are tested against (they agree to f64 roundoff; see
+    # tests/test_lm_analytic_jac.py). One behavioral difference: with
+    # block_dtype="float32" the analytic path accumulates U/V/W over the
+    # frames WITHIN a chunk inside the f32 einsum (~sqrt(chunk*70)*1e-7
+    # relative rounding vs the jacfwd path's per-frame-f64 reduction) —
+    # approximate-Hessian-tolerable, validated cost-vs-cost on the bench
+    # problem; cross-chunk accumulation stays in the data dtype.
+    jacobian: str = "analytic"
 
 
 class LMState(NamedTuple):
@@ -361,28 +376,38 @@ def build_normal_blocks(
     cf = None if cam_free is None else cam_free.astype(cam_params.dtype)
 
     def linearize(pose_k, obs_k, mask_k, pose_free_k):
-        """Blocks for one frame slab: ((C,12,12),(Fk,6,6),(C,Fk,12,6),...)."""
-        U_all, V_all, W_all, gc_all, gp_all, cost_all = per_cf_all(
-            cam_params, pose_k, obs_k, mask_k
-        )
-        # (C,Fk,12,12), (C,Fk,6,6), (C,Fk,12,6), (C,Fk,12), (C,Fk,6), (C,Fk)
+        """Blocks for one frame slab: ((C,12,12),(Fk,6,6),(C,Fk,12,6),...).
+
+        The cam_free/pose_free freezes are applied to the REDUCED blocks:
+        both masks are per-camera resp. per-frame, so they distribute over
+        the frame/camera sums and the result is identical to masking each
+        (c, f) block before reduction.
+        """
+        if opts.jacobian == "analytic":
+            U, V, W, g_cam, g_pose, cost = _linearize_analytic(
+                cam_params, pose_k, obs_k, mask_k, objpoints, opts
+            )
+        else:
+            U_all, V_all, W_all, gc_all, gp_all, cost_all = per_cf_all(
+                cam_params, pose_k, obs_k, mask_k
+            )
+            # (C,Fk,12,12),(C,Fk,6,6),(C,Fk,12,6),(C,Fk,12),(C,Fk,6),(C,Fk)
+            U = jnp.sum(U_all, axis=1)
+            V = jnp.sum(V_all, axis=0)
+            W = W_all
+            g_cam = jnp.sum(gc_all, axis=1)
+            g_pose = jnp.sum(gp_all, axis=0)
+            cost = jnp.sum(cost_all)
         if cf is not None:
-            U_all = U_all * cf[:, None, :, None] * cf[:, None, None, :]
-            W_all = W_all * cf[:, None, :, None]
-            gc_all = gc_all * cf[:, None, :]
+            U = U * cf[:, :, None] * cf[:, None, :]
+            W = W * cf[:, None, :, None]
+            g_cam = g_cam * cf
         if pose_free_k is not None:
             pf = pose_free_k.astype(pose_k.dtype)  # (Fk, 6)
-            V_all = V_all * pf[None, :, :, None] * pf[None, :, None, :]
-            W_all = W_all * pf[None, :, None, :]
-            gp_all = gp_all * pf[None, :, :]
-        return (
-            jnp.sum(U_all, axis=1),
-            jnp.sum(V_all, axis=0),
-            W_all,
-            jnp.sum(gc_all, axis=1),
-            jnp.sum(gp_all, axis=0),
-            jnp.sum(cost_all),
-        )
+            V = V * pf[:, :, None] * pf[:, None, :]
+            W = W * pf[None, :, None, :]
+            g_pose = g_pose * pf
+        return U, V, W, g_cam, g_pose, cost
 
     chunk = opts.frame_chunk
     if chunk is None or chunk >= F:
@@ -435,6 +460,151 @@ def build_normal_blocks(
     xs = (pose_c, obs_c, mask_c) + (() if pf_c is None else (pf_c,))
     (U, g_cam, cost), (V_s, W_s, gp_s) = lax.scan(body, init, xs)
     return NormalBlocks(U=U, V=V_s, W=W_s, g_cam=g_cam, g_pose=gp_s, cost=cost)
+
+
+def _analytic_pred_and_jacs(cam_params, pose_params, objpoints, jac_dtype=None):
+    """Batched predictions + closed-form Jacobian blocks for ALL (c, f) pairs.
+
+    cam_params (C,12), pose_params (F,6), objpoints (N,3) ->
+    pred (C,F,N,2) in the data dtype; A (C,F,N,2,12), B (C,F,N,2,6) in
+    ``jac_dtype`` (data dtype if None).
+
+    Chain rule of ``project_board_points`` written out: with
+    q = R_c (R_p b + t_p) + t_c, (x, y) = (q_x, q_y)/q_z,
+    s(r2) = 1 + k1 r2 + k2 r2^2, (u, v) = (fx x s + cx, fy y s + cy):
+
+      M   = diag(fx, fy) @ D @ G          (2x3 per point), where
+      D   = d(x s, y s)/d(x, y) = [[s + 2x^2 s', 2xy s'], [2xy s', s + 2y^2 s']]
+      G   = d(x, y)/dq = 1/q_z [[1, 0, -x], [0, 1, -y]]
+      dq/dt_c = I,  dq/dr = -skew(R_c p_w) J_l(r)      (so3_left_jacobian)
+      dq/dt_p = R_c, dq/drho = -R_c skew(R_p b) J_l(rho)
+
+    The row-vector identity m^T (-skew(w)) = cross(w, m)^T turns the skew
+    products into two cross products per point, so the whole Jacobian costs
+    ~2x the primal instead of jacfwd's ~2x18 tangents. Verified against
+    jacfwd to f64 roundoff (tests/test_lm_analytic_jac.py), including the
+    theta=0 series branch. Division by q_z is guarded (|q_z| < 1e-12 -> 1)
+    so masked/padded observations yield finite garbage for the caller's
+    where-mask, never NaN.
+    """
+    dtype = cam_params.dtype
+    jd = jnp.dtype(jac_dtype) if jac_dtype is not None else dtype
+    fx, fy = cam_params[:, 0], cam_params[:, 1]
+    cx, cy = cam_params[:, 2], cam_params[:, 3]
+    k1, k2 = cam_params[:, 4], cam_params[:, 5]
+    rvec, tvec = cam_params[:, 6:9], cam_params[:, 9:12]
+    rho, tp = pose_params[:, :3], pose_params[:, 3:]
+    R_c = so3_exp(rvec)  # (C,3,3)
+    R_p = so3_exp(rho)  # (F,3,3)
+    Rb = jnp.einsum("nj,fij->fni", objpoints, R_p)  # (F,N,3)
+    p_w = Rb + tp[:, None, :]
+    q = jnp.einsum("fnj,cij->cfni", p_w, R_c) + tvec[:, None, None, :]
+    Z = q[..., 2]
+    Zs = jnp.where(jnp.abs(Z) < 1e-12, jnp.ones_like(Z), Z)
+    x, y = q[..., 0] / Zs, q[..., 1] / Zs
+    r2 = x * x + y * y
+    k1b, k2b = k1[:, None, None], k2[:, None, None]
+    s = 1.0 + r2 * (k1b + r2 * k2b)
+    xd, yd = x * s, y * s
+    fxb, fyb = fx[:, None, None], fy[:, None, None]
+    pred = jnp.stack(
+        [fxb * xd + cx[:, None, None], fyb * yd + cy[:, None, None]], -1
+    )
+
+    # --- Jacobian, entirely in jac_dtype (the approximate-Hessian blocks
+    # tolerate f32; see LMOptions.jac_dtype). Intermediates are reused from
+    # the primal by casting — identical to recomputing in jd up to rounding.
+    if jd != dtype:
+        cast = lambda *xs: tuple(v.astype(jd) for v in xs)
+        x, y, r2, s, Zs, q, Rb, xd, yd = cast(x, y, r2, s, Zs, q, Rb, xd, yd)
+        fxb, fyb, k1b, k2b = cast(fxb, fyb, k1b, k2b)
+        R_c = R_c.astype(jd)
+        tvec_j = tvec.astype(jd)
+        Jl_c = so3_left_jacobian(rvec.astype(jd))
+        Jl_p = so3_left_jacobian(rho.astype(jd))
+    else:
+        tvec_j = tvec
+        Jl_c = so3_left_jacobian(rvec)
+        Jl_p = so3_left_jacobian(rho)
+
+    sp = k1b + 2.0 * k2b * r2  # s'(r2)
+    d11 = s + 2.0 * x * x * sp
+    d12 = 2.0 * x * y * sp
+    d22 = s + 2.0 * y * y * sp
+    invZ = 1.0 / Zs
+    M0 = jnp.stack([d11, d12, -(d11 * x + d12 * y)], -1) * (fxb * invZ)[..., None]
+    M1 = jnp.stack([d12, d22, -(d12 * x + d22 * y)], -1) * (fyb * invZ)[..., None]
+    M = jnp.stack([M0, M1], -2)  # (C,F,N,2,3)
+
+    zero = jnp.zeros_like(xd)
+    one = jnp.ones_like(xd)
+    intr_cols = jnp.stack(  # (C,F,N,2,6): d(u,v)/d(fx,fy,cx,cy,k1,k2)
+        [
+            jnp.stack([xd, zero], -1),
+            jnp.stack([zero, yd], -1),
+            jnp.stack([one, zero], -1),
+            jnp.stack([zero, one], -1),
+            jnp.stack([fxb * x * r2, fyb * y * r2], -1),
+            jnp.stack([fxb * x * r2 * r2, fyb * y * r2 * r2], -1),
+        ],
+        -1,
+    )
+    w_cam = q - tvec_j[:, None, None, :]  # R_c p_w
+    A_r = jnp.einsum(
+        "cfnkj,cji->cfnki", jnp.cross(w_cam[..., None, :], M, axis=-1), Jl_c
+    )
+    A = jnp.concatenate([intr_cols, A_r, M], axis=-1)  # (C,F,N,2,12)
+    Mc = jnp.einsum("cfnkj,cji->cfnki", M, R_c)
+    B_r = jnp.einsum(
+        "cfnkj,fji->cfnki",
+        jnp.cross(Rb[None, :, :, None, :], Mc, axis=-1),
+        Jl_p,
+    )
+    B = jnp.concatenate([B_r, Mc], axis=-1)  # (C,F,N,2,6)
+    return pred, A, B
+
+
+def _linearize_analytic(cam_params, pose_params, obs, mask, objpoints, opts):
+    """Reduced normal blocks for one frame slab via the analytic Jacobians.
+
+    Returns (U (C,12,12), V (F,6,6), W (C,F,12,6), g_cam (C,12),
+    g_pose (F,6), cost) — the same local sums as the jacfwd path, but the
+    U/V/W assembly runs as FULL-contraction einsums (contraction axes
+    F*N*2 resp. C*N*2 instead of 70-wide per-(c,f) matmuls): the MXU sees
+    a few large matmuls per slab instead of C*F tiny ones.
+
+    Precision contracts (LMOptions.jac/block/grad_dtype) are preserved:
+    the residual is formed in the data dtype, per-observation products run
+    in grad_dtype, the gradient's frame/camera-axis reduction runs in the
+    data dtype, and only U/V/W contract in block_dtype (accumulating over
+    the slab's frames inside the einsum — see LMOptions.jacobian).
+    """
+    data_dtype = cam_params.dtype
+    pred, A, B = _analytic_pred_and_jacs(
+        cam_params, pose_params, objpoints, jac_dtype=opts.jac_dtype
+    )
+    m = mask[..., None]  # (C,F,N,1) -> broadcasts over the uv axis
+    r = jnp.where(m, jnp.nan_to_num(obs) - pred, 0.0)  # data dtype
+    w = jnp.where(m, _robust_weights(r**2, opts), 0.0)
+    cost = _robust_cost(jnp.where(m, r**2, 0.0), opts)
+
+    gd = jnp.dtype(opts.grad_dtype) if opts.grad_dtype else data_dtype
+    wg = w.astype(gd)
+    Aw = jnp.where(m[..., None], A.astype(gd) * wg[..., None], 0.0)
+    Bw = jnp.where(m[..., None], B.astype(gd) * wg[..., None], 0.0)
+    rw = (r * w).astype(gd)
+
+    bd = jnp.dtype(opts.block_dtype) if opts.block_dtype else data_dtype
+    Ab, Bb = Aw.astype(bd), Bw.astype(bd)
+    U = jnp.einsum("cfnki,cfnkj->cij", Ab, Ab).astype(data_dtype)
+    V = jnp.einsum("cfnki,cfnkj->fij", Bb, Bb).astype(data_dtype)
+    W = jnp.einsum("cfnki,cfnkj->cfij", Ab, Bb).astype(data_dtype)
+    # Per-frame gradient fragments in grad_dtype; the frame/camera-axis
+    # reduction (where the optimum's ~0 gradient emerges by cancellation)
+    # runs in the data dtype — same contract as the jacfwd path.
+    g_cam = jnp.einsum("cfnki,cfnk->cfi", Aw, rw).astype(data_dtype).sum(1)
+    g_pose = jnp.einsum("cfnki,cfnk->cfi", Bw, rw).astype(data_dtype).sum(0)
+    return U, V, W, g_cam, g_pose, cost
 
 
 def _value_and_jacs(cam12, pose6, objpoints, jac_dtype=None,

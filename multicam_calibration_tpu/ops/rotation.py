@@ -16,6 +16,7 @@ __all__ = [
     "rodrigues_inv",
     "so3_exp",
     "so3_log",
+    "so3_left_jacobian",
 ]
 
 # Below this angle, use Taylor expansions of sin(t)/t and (1-cos(t))/t^2.
@@ -97,6 +98,33 @@ def so3_log(R):
     safe_n = jnp.where(small, 1.0, n)
     scale = jnp.where(small, 2.0 / jnp.maximum(w, 1e-30), 2.0 * jnp.arctan2(n, w) / safe_n)
     return qv * scale[..., None]
+
+
+def so3_left_jacobian(r):
+    """Left Jacobian of SO(3) for axis-angle vectors (...,3) -> (...,3,3).
+
+    J_l(r) = I + ((1-cos t)/t^2) K + ((t-sin t)/t^3) K^2 with K = skew(r),
+    satisfying exp((r+d)^) ~= exp((J_l(r) d)^) exp(r^), which gives the
+    closed-form derivative of a rotated point, d(R p)/dr = -skew(R p) J_l(r)
+    — the identity the analytic bundle-adjustment Jacobians are built on.
+    Series-expanded near t=0 like ``so3_exp`` so it is exact and smooth at
+    the identity.
+    """
+    theta2 = jnp.sum(r * r, axis=-1)[..., None, None]
+    small = theta2 < _SMALL_ANGLE
+    safe_theta2 = jnp.where(small, jnp.ones_like(theta2), theta2)
+    theta = jnp.sqrt(safe_theta2)
+    b = jnp.where(
+        small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / safe_theta2
+    )
+    c = jnp.where(
+        small,
+        1.0 / 6.0 - theta2 / 120.0,
+        (theta - jnp.sin(theta)) / (safe_theta2 * theta),
+    )
+    K = skew(r)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), K.shape)
+    return eye + b * K + c * (K @ K)
 
 
 # Reference-compatible aliases (multicam_calibration.geometry.rodrigues /

