@@ -186,37 +186,17 @@ def main():
     # (utils/flops.py), achieved FLOP/s, and the roofline fraction = (time a
     # perfect machine would need for the same FLOPs, with f64 emulation
     # charged at ~peak_f32/10) / measured wall.
-    from multicam_calibration_tpu.utils.flops import (
-        device_peak_flops,
-        lm_flop_model,
-    )
+    from multicam_calibration_tpu.utils.flops import lm_flops_detail
 
     nfev = int(info["nfev"])
-    fm = lm_flop_model(N_CAMERAS, len(use_frames), 35, n_iters, nfev)
-    total_flops = fm["jac_flops"] + fm["data_flops"]
     # Bucket by the dtype each component runs in under `opts` (the mixed
     # recipe runs jac + assembly + schur + cost in f32; the f64 remainder
     # is the primal projection + gradient path).
-    f32_flops = (
-        fm["jac_flops"] + fm["assembly_flops"] + fm["schur_flops"]
-        + fm["cost_flops"]
+    flops_detail = lm_flops_detail(
+        N_CAMERAS, len(use_frames), 35, n_iters, nfev, wall,
+        jax.devices()[0].device_kind, n_obs=int(mask_np.sum()),
+        jacobian=opts.jacobian, mixed_f32=True,
     )
-    f64_flops = total_flops - f32_flops
-    device_kind = jax.devices()[0].device_kind
-    flops_detail = {
-        "model_tflops": round(total_flops / 1e12, 4),
-        "achieved_tflops_per_s": round(total_flops / wall / 1e12, 4),
-        "f32_fraction": round(f32_flops / total_flops, 3),
-        "obs_iters_per_s_M": round(
-            int(mask_np.sum()) * n_iters / wall / 1e6, 3
-        ),
-        "device_kind": device_kind,
-        "nfev": nfev,
-    }
-    peaks = device_peak_flops(device_kind)
-    if peaks:
-        t_roofline = f32_flops / peaks[0] + f64_flops / peaks[1]
-        flops_detail["roofline_fraction"] = round(t_roofline / wall, 4)
 
     vs_baseline = 0.0
     quality_ok = None
