@@ -91,6 +91,16 @@ def _load_lib():
         ctypes.c_double,
         ctypes.c_int,
     ]
+    if hasattr(lib, "mccw_open_ex"):  # bitrate-aware open (r3 rebuilds)
+        lib.mccw_open_ex.restype = ctypes.c_void_p
+        lib.mccw_open_ex.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_int64,
+        ]
     lib.mccw_write.restype = ctypes.c_int
     lib.mccw_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_ubyte)]
     lib.mccw_close.restype = ctypes.c_int
@@ -204,16 +214,26 @@ class NativeVideoWriter:
     BGR24/GRAY8 input frames. Replaces the reference's imageio-ffmpeg
     subprocess encode (reference viz.py:296-298)."""
 
-    def __init__(self, path, width, height, fps=30.0, gray=False):
+    def __init__(self, path, width, height, fps=30.0, gray=False,
+                 bit_rate=None):
+        """``bit_rate`` (bits/s) overrides the default generous-rate
+        policy — used to encode at realistic lossy rates (the codec
+        round-trip robustness suite)."""
         lib = _load_lib()
         if lib is None:
             raise RuntimeError("libmccvideo.so unavailable")
         self._lib = lib
         self.width, self.height = int(width), int(height)
         self._gray = bool(gray)
-        self._h = lib.mccw_open(
-            path.encode(), self.width, self.height, float(fps), int(gray)
-        )
+        if bit_rate and hasattr(lib, "mccw_open_ex"):
+            self._h = lib.mccw_open_ex(
+                path.encode(), self.width, self.height, float(fps),
+                int(gray), int(bit_rate),
+            )
+        else:
+            self._h = lib.mccw_open(
+                path.encode(), self.width, self.height, float(fps), int(gray)
+            )
         # A failed open is detected on first write/close; probe eagerly.
         err = lib.mccw_last_error(self._h).decode()
         if err:

@@ -142,18 +142,42 @@ def degrade_view(
     vignette=0.0,
     clutter=0,
     occlusion_px=0,
+    occlusion_bars=1,
     motion_blur_px=0,
     board_region=None,
+    background_texture=0.0,
+    specular=0,
 ):
     """Apply realistic nuisance factors to a rendered view, in place order:
-    clutter shapes -> occlusion bar -> lighting gradient -> vignette ->
-    motion blur. ``board_region`` ((x0, y0), (x1, y1)) aims the occlusion
-    bar at the board; clutter lands anywhere outside it.
+    background texture -> clutter shapes -> occlusion bar(s) -> specular
+    highlights -> lighting gradient -> vignette -> motion blur.
+    ``board_region`` ((x0, y0), (x1, y1)) aims the occlusion bars and
+    specular glare at the board; clutter and texture land outside it.
+    ``occlusion_bars`` crosses that many independent bars of width
+    ``occlusion_px`` through the board (cables / limbs). ``specular`` adds
+    that many saturating gaussian glare blobs near the board edge (the
+    lighting artifact real calibration videos have from glossy boards).
+    ``background_texture`` in [0, 1] blends a smooth random texture into
+    the non-board background (cv2's quad detector must cope with textured
+    scenes; ours must too).
     """
     import cv2
 
     view = np.asarray(view, float).copy()
     h, w = view.shape[:2]
+    if background_texture > 0:
+        g = rng.uniform(0, 255, (h // 16 + 2, w // 16 + 2))
+        tex = cv2.resize(g, (w, h), interpolation=cv2.INTER_CUBIC)
+        m = np.ones((h, w))
+        if board_region is not None:
+            (bx0, by0), (bx1, by1) = board_region
+            pad = 6  # keep the board's own quiet margin
+            m[
+                max(int(by0) - pad, 0) : min(int(by1) + pad, h),
+                max(int(bx0) - pad, 0) : min(int(bx1) + pad, w),
+            ] = 0.0
+        a = background_texture * m
+        view = view * (1.0 - a) + tex * a
     for _ in range(int(clutter)):
         shade = float(rng.uniform(0, 255))
         kind = rng.integers(0, 3)
@@ -182,21 +206,49 @@ def degrade_view(
                 int(rng.uniform(2, 8)),
             )
     if occlusion_px > 0:
-        # A bar across the board (cable / limb in frame).
+        # Bar(s) across the board (cable / limb in frame). Each bar gets
+        # its own angle, shade, and a small offset from the board center.
         if board_region is not None:
             (bx0, by0), (bx1, by1) = board_region
-            cx, cy = (bx0 + bx1) / 2, (by0 + by1) / 2
+            cx0, cy0 = (bx0 + bx1) / 2, (by0 + by1) / 2
+            span = max(bx1 - bx0, by1 - by0)
         else:
-            cx, cy = w / 2, h / 2
-        ang = rng.uniform(0, np.pi)
-        dx, dy = np.cos(ang) * w, np.sin(ang) * w
-        cv2.line(
-            view,
-            (int(cx - dx), int(cy - dy)),
-            (int(cx + dx), int(cy + dy)),
-            float(rng.uniform(0, 255)),
-            int(occlusion_px),
-        )
+            cx0, cy0 = w / 2, h / 2
+            span = min(w, h) / 2
+        for _ in range(int(occlusion_bars)):
+            cx = cx0 + rng.uniform(-0.25, 0.25) * span
+            cy = cy0 + rng.uniform(-0.25, 0.25) * span
+            ang = rng.uniform(0, np.pi)
+            dx, dy = np.cos(ang) * w, np.sin(ang) * w
+            cv2.line(
+                view,
+                (int(cx - dx), int(cy - dy)),
+                (int(cx + dx), int(cy + dy)),
+                float(rng.uniform(0, 255)),
+                int(occlusion_px),
+            )
+    if specular > 0:
+        # Saturating glare blobs near the board edge (glossy board /
+        # overhead lights). Additive, clipped at the end like everything.
+        if board_region is not None:
+            (bx0, by0), (bx1, by1) = board_region
+        else:
+            (bx0, by0), (bx1, by1) = (w * 0.25, h * 0.25), (w * 0.75, h * 0.75)
+        ys, xs = np.mgrid[0:h, 0:w]
+        for _ in range(int(specular)):
+            # Uniform on the board's bounding box edge band.
+            t = rng.uniform(0, 1)
+            if rng.uniform() < 0.5:
+                cx = bx0 + t * (bx1 - bx0)
+                cy = by0 if rng.uniform() < 0.5 else by1
+            else:
+                cx = bx0 if rng.uniform() < 0.5 else bx1
+                cy = by0 + t * (by1 - by0)
+            sig = rng.uniform(10, 28)
+            blob = np.exp(
+                -((xs - cx) ** 2 + (ys - cy) ** 2) / (2.0 * sig * sig)
+            )
+            view = view + 255.0 * blob
     if lighting_gradient > 0:
         gx, gy = rng.uniform(-1, 1, 2) * lighting_gradient
         ys, xs = np.mgrid[0:h, 0:w]
@@ -234,7 +286,10 @@ def render_board_view(
     vignette=0.0,
     clutter=0,
     occlusion_px=0,
+    occlusion_bars=1,
     motion_blur_px=0,
+    background_texture=0.0,
+    specular=0,
 ):
     """Warp the canonical board through a homography into a camera view.
 
@@ -277,14 +332,17 @@ def render_board_view(
         gt = distort_pixels(gt, camera_matrix, dist_coefs)
 
     rng = np.random.default_rng(seed)
-    if clutter or occlusion_px or lighting_gradient or vignette or motion_blur_px:
+    if (clutter or occlusion_px or lighting_gradient or vignette
+            or motion_blur_px or background_texture or specular):
         pad = 0.05 * max(gt.max(0) - gt.min(0))
         board_region = (tuple(gt.min(0) - pad), tuple(gt.max(0) + pad))
         view = degrade_view(
             view, rng,
             lighting_gradient=lighting_gradient, vignette=vignette,
             clutter=clutter, occlusion_px=occlusion_px,
+            occlusion_bars=occlusion_bars,
             motion_blur_px=motion_blur_px, board_region=board_region,
+            background_texture=background_texture, specular=specular,
         )
     if blur_sigma > 0:
         view = cv2.GaussianBlur(view, (0, 0), blur_sigma)

@@ -705,6 +705,143 @@ def consensus_calib_poses(all_calib_poses, all_extrinsics):
     return masked_median(t_b2w, detected[..., None], axis=0)
 
 
+@jax.jit
+def _median_reproj_err_jit(calib_uvs, poses, cam12, objpoints):
+    pred = jax.vmap(project_board_points, in_axes=(None, 0, None))(
+        cam12, poses, objpoints
+    )
+    err = jnp.linalg.norm(calib_uvs - pred, axis=-1)
+    ok = jnp.all(jnp.isfinite(poses), axis=-1)[:, None] & jnp.all(
+        jnp.isfinite(calib_uvs), axis=-1
+    )
+    return masked_median(err.reshape(-1), ok.reshape(-1), axis=0)
+
+
+def _median_reproj_err(calib_uvs, poses, K, dist, objpoints):
+    """Median per-observation reprojection error (px) for one camera,
+    over the frames its PnP produced a pose for (NaN uvs/poses masked)."""
+    uvs = jnp.asarray(np.asarray(calib_uvs, dtype=float))
+    dist = np.asarray(dist, dtype=float).reshape(-1)
+    cam12 = jnp.asarray(
+        np.concatenate(
+            [[K[0, 0], K[1, 1], K[0, 2], K[1, 2]], dist[:2], np.zeros(6)]
+        ),
+        dtype=uvs.dtype,
+    )
+    return float(
+        _median_reproj_err_jit(
+            uvs,
+            jnp.asarray(np.asarray(poses, dtype=float)),
+            cam12,
+            jnp.asarray(objpoints, dtype=uvs.dtype),
+        )
+    )
+
+
+def _compose_cam_poses(extrinsic6, consensus_poses):
+    """Board->camera pose per frame: T(ext_c) @ T(consensus_f), (F, 6).
+
+    Frames without a consensus pose come out NaN (masked downstream).
+    """
+    cp = jnp.asarray(np.asarray(consensus_poses, dtype=float))
+    ok = jnp.all(jnp.isfinite(cp), axis=-1)
+    T = get_transformation_matrix(
+        jnp.asarray(np.asarray(extrinsic6, dtype=float))
+    ) @ get_transformation_matrix(jnp.nan_to_num(cp))
+    out = get_transformation_vector(T)
+    return jnp.where(ok[:, None], out, jnp.nan)
+
+
+def _rig_consistent_err(calib_uvs, extrinsic6, K, dist, consensus_poses,
+                        objpoints):
+    """Median reprojection error (px) of one camera against the RIG's
+    consensus board poses — the metric that exposes compensating
+    single-camera fits (which look perfect under their own free per-frame
+    poses: the pose absorbs the focal error via the depth-scale
+    ambiguity, but cannot absorb it once the pose is pinned by peers)."""
+    poses = _compose_cam_poses(extrinsic6, consensus_poses)
+    return _median_reproj_err(calib_uvs, poses, K, dist, objpoints)
+
+
+def _repair_bad_intrinsics(
+    all_calib_uvs,
+    img_sizes,
+    calib_objpoints,
+    all_intrinsics,
+    all_calib_poses,
+    all_extrinsics,
+    consensus_poses,
+    n_samples,
+    verbose,
+):
+    """Peer-relative init repair (in-place on intrinsics/poses lists).
+
+    Zhang + LM on one frame sample occasionally lands a single camera in a
+    compensating-distortion basin that is FIELD-VALID (invertible radial,
+    so the basin guard keeps it) and self-consistent under its own PnP
+    poses — yet wildly wrong against the rig (measured on a 64-cam rig:
+    one camera at 16 px median error vs 1 px peers under the consensus
+    poses, which then poisons 70% of frames via select_ba_frames'
+    worst-camera rule). Flag cameras whose RIG-CONSISTENT median error is
+    an outlier against the rig median, refit them from fresh frame
+    samples, and keep a candidate only if it measurably improves that
+    camera under the same consensus poses. Returns True if anything
+    changed (caller re-runs the extrinsics tree + consensus).
+    Needs >= 4 cameras for a meaningful peer baseline.
+    """
+    n_cameras = len(all_intrinsics)
+    if n_cameras < 4:
+        return False
+    errs = np.array(
+        [
+            _rig_consistent_err(
+                all_calib_uvs[c], all_extrinsics[c], all_intrinsics[c][0],
+                all_intrinsics[c][1], consensus_poses, calib_objpoints,
+            )
+            for c in range(n_cameras)
+        ]
+    )
+    peer = float(np.nanmedian(errs))
+    thresh = max(3.0 * peer, 2.0)
+    bad = ~np.isfinite(errs) | (errs > thresh)
+    changed = False
+    for c in np.nonzero(bad)[0]:
+        best_err = errs[c]
+        for seed, ns in ((9973, n_samples), (31337, 2 * n_samples)):
+            try:
+                cand = get_intrinsics(
+                    all_calib_uvs[c], calib_objpoints, img_sizes[c],
+                    n_samples=ns, seed=seed,
+                )
+            except ValueError:
+                break  # too few fully-detected frames to resample
+            poses_c = np.asarray(
+                estimate_pose(all_calib_uvs[c], calib_objpoints, *cand)
+            )
+            # Re-anchor the camera to the rig: its extrinsic from the
+            # median relative transform vs the consensus (world) poses.
+            ext_c = np.asarray(
+                estimate_pairwise_camera_transform(consensus_poses, poses_c)
+            )
+            e = _rig_consistent_err(
+                all_calib_uvs[c], ext_c, cand[0], cand[1], consensus_poses,
+                calib_objpoints,
+            )
+            if np.isfinite(e) and e < best_err:
+                all_intrinsics[c] = cand
+                all_calib_poses[c] = poses_c
+                best_err = e
+                changed = True
+            if best_err <= thresh:
+                break
+        if verbose:
+            print(
+                f"  repaired camera {c}: rig-consistent median error "
+                f"{errs[c]:.2f} -> {best_err:.2f} px (rig median {peer:.2f})"
+            )
+    return changed
+
+
 def calibrate(
     all_calib_uvs,
     img_sizes,
@@ -787,4 +924,20 @@ def calibrate(
         calib_poses = np.asarray(
             consensus_calib_poses(all_calib_poses, all_extrinsics)
         )
+    # Rig-consistency check + single-camera init repair (needs the
+    # consensus poses — a compensating fit is invisible under its own
+    # free poses). On repair, re-anchor the tree and consensus once.
+    with metrics.timer("calibrate.repair"):
+        all_intrinsics = list(all_intrinsics)
+        if _repair_bad_intrinsics(
+            all_calib_uvs, img_sizes, calib_objpoints, all_intrinsics,
+            all_calib_poses, all_extrinsics, calib_poses,
+            n_samples_for_intrinsics, verbose,
+        ):
+            all_extrinsics, spanning_tree = estimate_all_extrinsics(
+                all_calib_poses, root=root
+            )
+            calib_poses = np.asarray(
+                consensus_calib_poses(all_calib_poses, all_extrinsics)
+            )
     return all_extrinsics, all_intrinsics, calib_poses, spanning_tree

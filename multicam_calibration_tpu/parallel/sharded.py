@@ -111,7 +111,7 @@ def sharded_triangulate(
     all_intrinsics,
     mesh=None,
     axis_name="points",
-    refine=False,
+    refine=True,
     return_sd=False,
 ):
     """Points-sharded robust triangulation for large keypoint clouds.

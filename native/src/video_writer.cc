@@ -30,8 +30,10 @@ class VideoWriter {
  public:
   bool failed = false;
 
-  VideoWriter(const char* path, int w, int h, double fps, bool gray)
-      : path_(path), w_(w), h_(h), fps_(fps), gray_(gray) {}
+  VideoWriter(const char* path, int w, int h, double fps, bool gray,
+              int64_t bit_rate = 0)
+      : path_(path), w_(w), h_(h), fps_(fps), gray_(gray),
+        bit_rate_(bit_rate) {}
 
   ~VideoWriter() { close(); }
 
@@ -42,12 +44,21 @@ class VideoWriter {
       err_ = "could not infer container from path " + path_;
       return false;
     }
-    // Encoder preference: container default, then portable fallbacks.
+    // Encoder preference: MPEG4 first — this image's libx264 emits a
+    // trailing packet neither libavcodec nor cv2 decodes (measured: 10
+    // frames in, 9 out, on .mp4 even with bf=0), and a calibration/QC
+    // video that silently loses its last frame is worse than a bigger
+    // one. Container default and portable fallbacks after.
     const AVCodec* enc = nullptr;
-    AVCodecID cands[] = {fmt_->oformat->video_codec, AV_CODEC_ID_MPEG4,
+    AVCodecID cands[] = {AV_CODEC_ID_MPEG4, fmt_->oformat->video_codec,
                          AV_CODEC_ID_FFV1, AV_CODEC_ID_RAWVIDEO};
     for (AVCodecID id : cands) {
       if (id == AV_CODEC_ID_NONE) continue;
+      // Only codecs the container can actually mux (y4m takes rawvideo
+      // only — an encoder that opens but fails at write_header is useless).
+      if (avformat_query_codec(fmt_->oformat, id, FF_COMPLIANCE_NORMAL) <= 0) {
+        continue;
+      }
       enc = avcodec_find_encoder(id);
       if (enc && try_open_encoder(enc)) break;
       enc = nullptr;
@@ -143,10 +154,22 @@ class VideoWriter {
     ctx_->framerate = AVRational{fps_num, 1000};
     ctx_->pix_fmt = enc->pix_fmts ? enc->pix_fmts[0] : AV_PIX_FMT_YUV420P;
     ctx_->gop_size = 12;
-    // Generous rate: QC overlays value fidelity over size. CRF for codecs
-    // that honor it (x264), bitrate fallback for the rest.
-    ctx_->bit_rate = static_cast<int64_t>(w_) * h_ * fps_;
-    av_opt_set(ctx_->priv_data, "crf", "18", 0);
+    // No B-frames: decode order == display order, so every written frame
+    // round-trips (x264's trailing B at stream end is dropped by
+    // libavcodec AND cv2's decoder — measured: 10 in, 9 out on .mp4), and
+    // frame indices stay monotonic for the loader's random access.
+    ctx_->max_b_frames = 0;
+    av_opt_set(ctx_->priv_data, "bf", "0", 0);
+    // Default: generous rate (QC overlays value fidelity over size), CRF
+    // for codecs that honor it (x264), bitrate fallback for the rest. A
+    // caller-supplied bit_rate overrides both — used by the codec
+    // round-trip robustness suite to encode at realistic lossy rates.
+    if (bit_rate_ > 0) {
+      ctx_->bit_rate = bit_rate_;
+    } else {
+      ctx_->bit_rate = static_cast<int64_t>(w_) * h_ * fps_;
+      av_opt_set(ctx_->priv_data, "crf", "18", 0);
+    }
     if (fmt_->oformat->flags & AVFMT_GLOBALHEADER) {
       ctx_->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
     }
@@ -161,6 +184,13 @@ class VideoWriter {
       if (r < 0) return fail("packet receive failed");
       av_packet_rescale_ts(pkt_, ctx_->time_base, stream_->time_base);
       pkt_->stream_index = stream_->index;
+      // The mp4 muxer DROPS the final sample when packet durations are 0
+      // (measured: encoder emits N, file demuxes N-1); stamp one frame
+      // interval so every written frame survives the container.
+      if (pkt_->duration == 0) {
+        pkt_->duration =
+            av_rescale_q(1, ctx_->time_base, stream_->time_base);
+      }
       if (av_interleaved_write_frame(fmt_, pkt_) < 0) {
         return fail("write frame failed");
       }
@@ -177,6 +207,7 @@ class VideoWriter {
   int w_, h_;
   double fps_;
   bool gray_;
+  int64_t bit_rate_ = 0;
   AVFormatContext* fmt_ = nullptr;
   AVCodecContext* ctx_ = nullptr;
   AVStream* stream_ = nullptr;
@@ -195,6 +226,15 @@ extern "C" {
 
 void* mccw_open(const char* path, int w, int h, double fps, int gray) {
   auto* v = new VideoWriter(path, w, h, fps, gray != 0);
+  if (!v->open()) v->failed = true;
+  return v;
+}
+
+// Extended open with an explicit encoder bitrate (bits/s; 0 = the default
+// generous-rate policy).
+void* mccw_open_ex(const char* path, int w, int h, double fps, int gray,
+                   int64_t bit_rate) {
+  auto* v = new VideoWriter(path, w, h, fps, gray != 0, bit_rate);
   if (!v->open()) v->failed = true;
   return v;
 }

@@ -177,7 +177,8 @@ def bench_triangulate(rig, rng):
     ref_wall = time.time() - t0
     ref_pps = (sub.stop - sub.start) / ref_wall
 
-    # Ours: jit over the full cloud; warm-up then timed.
+    # Ours, DEFAULT path (pair-median + robust-gated GN polish since r3 —
+    # VERDICT r2 weak #7): jit over the full cloud; warm-up then timed.
     out = mct.triangulate(uvs, rig.all_extrinsics, rig.all_intrinsics)
     _ = np.asarray(out)
     t0 = time.time()
@@ -185,24 +186,26 @@ def bench_triangulate(rig, rng):
     out_np = np.asarray(out)
     wall = time.time() - t0
     pps = TRI_POINTS / wall
-
-    ours_sub = out_np[sub]
-    common = np.isfinite(ref_pts).all(-1) & np.isfinite(ours_sub).all(-1)
-    agree = float(np.max(np.linalg.norm(ref_pts[common] - ours_sub[common], axis=-1)))
     tri_err = np.linalg.norm(out_np - pts_gt, axis=-1)
 
-    # Beyond-reference: the robust-gated all-view GN polish (refine=True).
-    ref_out = mct.triangulate(
-        uvs, rig.all_extrinsics, rig.all_intrinsics, refine=True
+    # Explicit refine=False: the reference's exact median-over-pairs
+    # semantics, for the numerical-agreement check.
+    med_out = mct.triangulate(
+        uvs, rig.all_extrinsics, rig.all_intrinsics, refine=False
     )
-    _ = np.asarray(ref_out)
+    _ = np.asarray(med_out)
     t0 = time.time()
-    ref_out = mct.triangulate(
-        uvs, rig.all_extrinsics, rig.all_intrinsics, refine=True
+    med_out = mct.triangulate(
+        uvs, rig.all_extrinsics, rig.all_intrinsics, refine=False
     )
-    refined_np = np.asarray(ref_out)
-    wall_ref = time.time() - t0
-    refined_err = np.linalg.norm(refined_np - pts_gt, axis=-1)
+    med_np = np.asarray(med_out)
+    wall_med = time.time() - t0
+    med_sub = med_np[sub]
+    common = np.isfinite(ref_pts).all(-1) & np.isfinite(med_sub).all(-1)
+    agree = float(
+        np.max(np.linalg.norm(ref_pts[common] - med_sub[common], axis=-1))
+    )
+    med_err = np.linalg.norm(med_np - pts_gt, axis=-1)
 
     ref_err_sub = np.linalg.norm(ref_pts - pts_gt[sub], axis=-1)
     return {
@@ -211,15 +214,15 @@ def bench_triangulate(rig, rng):
         "points_per_s_M": round(pps / 1e6, 3),
         "reference_points_per_s_M": round(ref_pps / 1e6, 4),
         "vs_reference": round(pps / ref_pps, 1),
-        "max_disagreement": round(agree, 4),
+        "max_disagreement_median_path": round(agree, 4),
         "rmse_to_gt": round(float(np.sqrt(np.nanmean(tri_err**2))), 4),
         "reference_rmse_to_gt": round(
             float(np.sqrt(np.nanmean(ref_err_sub**2))), 4
         ),
-        "refined_rmse_to_gt": round(
-            float(np.sqrt(np.nanmean(refined_err**2))), 4
+        "median_path_rmse_to_gt": round(
+            float(np.sqrt(np.nanmean(med_err**2))), 4
         ),
-        "refined_points_per_s_M": round(TRI_POINTS / wall_ref / 1e6, 3),
+        "median_path_points_per_s_M": round(TRI_POINTS / wall_med / 1e6, 3),
         "wall_s": round(wall, 3),
         "reference_wall_s_at_20k": round(ref_wall, 3),
     }

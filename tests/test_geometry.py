@@ -282,7 +282,7 @@ class TestTriangulation:
             all_uvs.append(uv)
         exts = [e for e, _, _ in cams]
         intr = [(K, d) for _, K, d in cams]
-        med = np.asarray(mct.triangulate(all_uvs, exts, intr))
+        med = np.asarray(mct.triangulate(all_uvs, exts, intr, refine=False))
         ref, sd = mct.triangulate(all_uvs, exts, intr, return_sd=True)
         ref, sd = np.asarray(ref), np.asarray(sd)
         rmse_med = np.sqrt(np.nanmean(np.sum((med - pts) ** 2, -1)))
@@ -351,6 +351,7 @@ class TestTriangulation:
                 all_uvs,
                 [e for e, _, _ in cams],
                 [(K, d) for _, K, d in cams],
+                refine=False,  # the reference's median-over-pairs semantics
             )
         )
         err = np.linalg.norm(rec - pts, axis=-1)
