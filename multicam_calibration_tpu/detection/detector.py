@@ -211,7 +211,6 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
     B, H, W = gray.shape
     dtype = gray.dtype
     r = win_size
-    size = 2 * r + 1
     D = int(np.ceil(max_drift))
     R = r + D + 1  # patch half-extent: window + drift + bilinear support
     S = 2 * R + 1
@@ -222,11 +221,6 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
     padded = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)))
     gx = 0.5 * (padded[:, 1:-1, 2:] - padded[:, 1:-1, :-2])
     gy = 0.5 * (padded[:, 2:, 1:-1] - padded[:, :-2, 1:-1])
-
-    offs = jnp.arange(-r, r + 1, dtype=dtype)
-    wy_g, wx_g = jnp.meshgrid(offs, offs, indexing="ij")
-    # cornerSubPix weight: Gaussian-ish taper over the window.
-    wgt = jnp.exp(-(wx_g**2 + wy_g**2) / (2.0 * (0.5 * r + 0.5) ** 2))
 
     # One patch per corner (block gather, once). Origins clamp so the patch
     # stays in-image; candidate margins normally keep the clamp inactive.
@@ -243,6 +237,39 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
     py_p = take(gy, oy, ox)
     origin = jnp.stack([ox, oy], axis=-1).astype(dtype)  # (B, K, 2)
     q0 = corners - origin  # patch coordinates (nominally (R, R))
+    refined = _subpix_refine_patches(
+        px_p, py_p, q0, win_size, max_drift=max_drift, n_iters=n_iters
+    )
+    return refined + origin
+
+
+def _subpix_refine_patches(px_p, py_p, q0, win_size, max_drift=3.0, n_iters=8):
+    """Iterate the cornerSubPix fixed point on gradient patches.
+
+    ``px_p``/``py_p``: (..., S, S) gradient patches with
+    S = 2 * (win_size + ceil(max_drift) + 1) + 1; ``q0``: (..., 2) initial
+    corner in patch coordinates (nominally the patch center (R, R) ± 0.5).
+    Returns refined patch coordinates, drift-clamped to center ± max_drift.
+
+    Shared by :func:`refine_corners_subpix` (patches sliced on device from
+    full frames) and the low-bandwidth batch path (full-res patches gathered
+    on host and uploaded ALONE, so full frames never cross the link).
+    """
+    dtype = px_p.dtype
+    r = win_size
+    size = 2 * r + 1
+    D = int(np.ceil(max_drift))
+    R = r + D + 1
+    S = 2 * R + 1
+    if px_p.shape[-1] != S:
+        raise ValueError(
+            f"patch extent {px_p.shape[-1]} != {S} for win {r}, drift {D}"
+        )
+
+    offs = jnp.arange(-r, r + 1, dtype=dtype)
+    wy_g, wx_g = jnp.meshgrid(offs, offs, indexing="ij")
+    # cornerSubPix weight: Gaussian-ish taper over the window.
+    wgt = jnp.exp(-(wx_g**2 + wy_g**2) / (2.0 * (0.5 * r + 0.5) ** 2))
 
     def refine_one(gpx, gpy, q_init):
         center = jnp.asarray([R, R], dtype)
@@ -300,10 +327,14 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
             q = step(k, q)
         return q
 
-    refined = jax.vmap(  # over batch
-        jax.vmap(refine_one)  # over corners
-    )(px_p, py_p, q0)
-    return refined + origin
+    lead = px_p.shape[:-2]
+    M = int(np.prod(lead)) if lead else 1
+    refined = jax.vmap(refine_one)(
+        px_p.reshape((M, S, S)),
+        py_p.reshape((M, S, S)),
+        q0.reshape((M, 2)),
+    )
+    return refined.reshape(lead + (2,))
 
 
 # ---------------------------------------------------------------------------
@@ -1716,6 +1747,221 @@ def detect_chessboard(
     return None
 
 
+# ---------------------------------------------------------------------------
+# Low-bandwidth batch path: coarse detection on host-decimated frames,
+# full-resolution accuracy recovered from per-corner patches uploaded alone.
+# ---------------------------------------------------------------------------
+
+
+def _decimate_u8(frames, f):
+    """Box-mean decimate uint8 frames (B, H, W[, 3]) by integer factor ``f``.
+
+    The mean of each f x f block (rounded) — cheap uint16 numpy arithmetic
+    on host. Low-res pixel j covers full-res pixels [f*j, f*j + f - 1], so a
+    low-res coordinate x maps back to full resolution as f*x + (f-1)/2.
+    """
+    B, H, W = frames.shape[:3]
+    Hc, Wc = (H // f) * f, (W // f) * f
+    x = frames[:, :Hc, :Wc].astype(np.uint16)
+    if frames.ndim == 4:
+        x = x.reshape(B, Hc // f, f, Wc // f, f, frames.shape[3])
+    else:
+        x = x.reshape(B, Hc // f, f, Wc // f, f)
+    out = (x.sum(axis=2, dtype=np.uint16).sum(axis=3, dtype=np.uint16)
+           + f * f // 2) // (f * f)
+    return out.astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("win_size", "max_drift"))
+@with_highest_precision
+def _refine_u8_patches(patches, q0, win_size, max_drift=3.0):
+    """Subpixel-refine corners on uploaded uint8 patches.
+
+    ``patches``: (M, S2, S2) or (M, S2, S2, 3) uint8 with
+    S2 = 2 * (win_size + ceil(max_drift) + 1) + 3 (one-pixel margin for the
+    central-difference gradients); ``q0``: (M, 2) initial corner in the
+    gradient-patch frame (patch pixel (1, 1) is gradient pixel (0, 0)).
+    Returns (M, 2) refined coordinates in the same frame.
+    """
+    g = patches.astype(jnp.float32)
+    if patches.ndim == 4:
+        # BGR weights (reference uses cv2.COLOR_BGR2GRAY, detection.py:375).
+        g = 0.114 * g[..., 0] + 0.587 * g[..., 1] + 0.299 * g[..., 2]
+    g = g / 255.0
+    gx = 0.5 * (g[:, 1:-1, 2:] - g[:, 1:-1, :-2])
+    gy = 0.5 * (g[:, 2:, 1:-1] - g[:, :-2, 1:-1])
+    return _subpix_refine_patches(gx, gy, q0, win_size, max_drift=max_drift)
+
+
+def _refine_fullres_group(frames, pts_full, win_size, max_drift=3.0):
+    """Full-res patch refinement of ``pts_full`` (n, K, 2) over host frames.
+
+    Gathers (S2 x S2) uint8 patches around each point on host, uploads the
+    patches alone (~1/20 of the frames' bytes), refines on device, returns
+    (n, K, 2) refined full-res coordinates.
+    """
+    n, K = pts_full.shape[:2]
+    D = int(np.ceil(max_drift))
+    R = win_size + D + 1
+    S2 = 2 * R + 3
+    H, W = frames.shape[1:3]
+    cxy = np.rint(pts_full).astype(np.int64)
+    ox = np.clip(cxy[..., 0] - (R + 1), 0, W - S2)
+    oy = np.clip(cxy[..., 1] - (R + 1), 0, H - S2)
+    patches = np.empty((n, K, S2, S2) + frames.shape[3:], frames.dtype)
+    for a in range(n):
+        fr = frames[a]
+        for k in range(K):
+            patches[a, k] = fr[
+                oy[a, k] : oy[a, k] + S2, ox[a, k] : ox[a, k] + S2
+            ]
+    # Gradient-patch origin is u8-patch pixel (1, 1) — see _refine_u8_patches.
+    origin = np.stack([ox + 1, oy + 1], axis=-1).astype(np.float64)
+    q0 = pts_full - origin
+    M = n * K
+    M_pad = max(1 << (M - 1).bit_length(), 1)  # pow2: one compiled program
+    pshape = (M_pad,) + patches.shape[2:]
+    p_flat = np.zeros(pshape, patches.dtype)
+    p_flat[:M] = patches.reshape((M,) + patches.shape[2:])
+    q_flat = np.full((M_pad, 2), R, np.float32)
+    q_flat[:M] = q0.reshape(M, 2)
+    refined = np.asarray(
+        _refine_u8_patches(
+            jnp.asarray(p_flat), jnp.asarray(q_flat), win_size,
+            max_drift=max_drift,
+        )
+    )[:M].astype(np.float64)
+    return refined.reshape(n, K, 2) + origin
+
+
+def _lowband_dispatch(
+    images, *, board_shape, max_candidates, nms_radius, template_size,
+    win_size, f,
+):
+    """Device stage 1 of the low-bandwidth path: decimate on host, upload
+    the small frames, dispatch the fast-path program at 1/f resolution.
+    Returns (stage1 device arrays, host frames, low-res params)."""
+    frames = np.stack([np.asarray(im) for im in images])
+    low = _decimate_u8(frames, f)
+    nms_low = max(2, int(round(nms_radius / f)))
+    tpl_low = max(16, int(round(template_size / f)))
+    win_low = max(3, int(round(win_size / f)))
+    stage1 = _batch_dispatch(
+        low, max_candidates, nms_low, win_low,
+        board_shape=board_shape, template_size=tpl_low,
+    )
+    return stage1, frames, (nms_low, tpl_low, win_low)
+
+
+def _lowband_finish(
+    stage1, frames, params_low, images, *, board_shape, reorder,
+    match_score_min_diff, max_candidates, nms_radius, template_size,
+    win_size, normalize_image, f,
+):
+    """Host half of the low-bandwidth path: low-res ordering/acceptance,
+    full-res patch re-refinement, full-resolution escalation of losses."""
+    B = len(images)
+    nms_low, tpl_low, win_low = params_low
+    out_low, acc_win = _batch_finish(
+        stage1, B, board_shape, reorder, match_score_min_diff, tpl_low,
+        win_low, normalize_image=normalize_image,
+        max_candidates=max_candidates, nms_radius=nms_low, return_win=True,
+    )
+    out = _lowband_promote(
+        frames, out_low, acc_win, f, win_size, win_low, reorder, board_shape
+    )
+    failed = [i for i in range(B) if i not in out]
+    if failed:
+        # Full-res escalation, pow2-padded so distinct failure counts reuse
+        # one compiled program per size (remote compiles cost minutes).
+        n_pad = max(1 << (len(failed) - 1).bit_length(), 1)
+        sub = [images[i] for i in failed]
+        sub += [images[failed[0]]] * (n_pad - len(failed))
+        sub_out = detect_chessboard_batch(
+            sub, board_shape=board_shape, reorder=reorder,
+            match_score_min_diff=match_score_min_diff,
+            max_candidates=max_candidates, nms_radius=nms_radius,
+            template_size=template_size,
+            subpix_winSize=(win_size, win_size),
+            normalize_image=normalize_image,
+        )
+        for j, i in enumerate(failed):
+            if j in sub_out:
+                out[i] = sub_out[j]
+    return out
+
+
+def _detect_batch_lowband(
+    images, *, board_shape, reorder, match_score_min_diff, max_candidates,
+    nms_radius, template_size, win_size, normalize_image, f,
+):
+    """Batch detection with the coarse stages at 1/f resolution.
+
+    Frames cross the host->device link f^2-fold smaller; full-res subpixel
+    accuracy is recovered by re-refining every accepted corner on full-res
+    patches uploaded alone (~5% of the frames' bytes). Frames the low-res
+    pass loses — or whose promoted grid fails the full-res lattice gate —
+    escalate to the full-resolution batch path, so the rate is a superset
+    of what 1/f detection alone would give.
+    """
+    stage1, frames, params_low = _lowband_dispatch(
+        images, board_shape=board_shape, max_candidates=max_candidates,
+        nms_radius=nms_radius, template_size=template_size,
+        win_size=win_size, f=f,
+    )
+    return _lowband_finish(
+        stage1, frames, params_low, images, board_shape=board_shape,
+        reorder=reorder, match_score_min_diff=match_score_min_diff,
+        max_candidates=max_candidates, nms_radius=nms_radius,
+        template_size=template_size, win_size=win_size,
+        normalize_image=normalize_image, f=f,
+    )
+
+
+def _lowband_promote(
+    frames, out_low, acc_win, f, win_size, win_low, reorder, board_shape
+):
+    """Scale low-res detections to full res and patch-refine each corner.
+
+    Detections are grouped by the refinement window their low-res
+    acceptance used (standard vs coarse blur rungs) so each group's
+    full-res re-refinement runs at the matching scale. Grids failing the
+    full-res lattice gate are dropped (the caller escalates them).
+    """
+    if not out_low:
+        return {}
+    cols, rows = board_shape[1], board_shape[0]
+    off = (f - 1) / 2.0
+    groups = {}
+    for i in out_low:
+        w_low = acc_win.get(i, win_low)
+        # Standard acceptances refine at the caller's window; coarse-rung
+        # (blur) acceptances at the rung's scale mapped back to full res.
+        w_full = win_size if w_low <= win_low else min(f * w_low, 17)
+        groups.setdefault(w_full, []).append(i)
+    out = {}
+    for w_full, idxs in groups.items():
+        pts_low = np.stack(
+            [
+                np.asarray(out_low[i][0] if reorder else out_low[i])
+                for i in idxs
+            ]
+        )  # (n, K, 2)
+        pts_full = pts_low * f + off
+        refined = _refine_fullres_group(frames, pts_full, w_full)
+        # Guard each corner: refinement that wandered off (blur, occluded
+        # cell) keeps the promoted coarse estimate instead.
+        drift = np.linalg.norm(refined - pts_full, axis=-1, keepdims=True)
+        refined = np.where(drift <= 3.0, refined, pts_full)
+        for a, i in enumerate(idxs):
+            grid = refined[a].reshape(cols, rows, 2)
+            if not _grid_smoothness_ok(grid, win=w_full):
+                continue  # full-res escalation picks this frame up
+            det = out_low[i]
+            out[i] = (refined[a], det[1]) if reorder else refined[a]
+    return out
+
+
 def detect_chessboard_batch(
     images,
     *,
@@ -1729,6 +1975,7 @@ def detect_chessboard_batch(
     subpix_winSize=(5, 5),
     adaptive_threshold=True,
     normalize_image=True,
+    coarse_downscale=1,
     **unsupported,
 ):
     """Detect over a batch of frames with batched device stages.
@@ -1748,9 +1995,26 @@ def detect_chessboard_batch(
     equivalent of the reference's cv2 flag). Only options that genuinely
     change per-frame behavior (a real ``scale_factor`` downscale, or
     unknown kwargs) fall back to the single-frame path.
+
+    ``coarse_downscale`` > 1 runs the coarse stages on host box-decimated
+    frames and recovers full-res accuracy from per-corner patches uploaded
+    alone (~f^2 less link traffic and device conv work); frames the low-res
+    pass loses escalate to this full-resolution path automatically. Unlike
+    the reference's ``scale_factor`` (detection.py:356, which trades
+    accuracy for speed wholesale), accuracy is preserved — the final
+    subpixel refinement always runs on full-res pixels.
     """
     del adaptive_threshold  # parity arg; response is offset invariant
     win_size = _subpix_win(subpix_winSize)
+    if coarse_downscale and coarse_downscale > 1 and not unsupported \
+            and scale_factor == 1 and len(images):
+        return _detect_batch_lowband(
+            images, board_shape=board_shape, reorder=reorder,
+            match_score_min_diff=match_score_min_diff,
+            max_candidates=max_candidates, nms_radius=nms_radius,
+            template_size=template_size, win_size=win_size,
+            normalize_image=normalize_image, f=int(coarse_downscale),
+        )
     # scale_factor==1 (the default everywhere, including the CLI's config
     # dict) is a no-op — only an actual downscale needs the per-frame path.
     if unsupported or scale_factor != 1:
@@ -1870,6 +2134,7 @@ _COARSE_SCALES = ((3.5, 11), (6.0, 17))
 def _batch_finish(
     stage1, B, board_shape, reorder, match_score_min_diff, template_size,
     win_size=5, normalize_image=True, max_candidates=160, nms_radius=4,
+    return_win=False,
 ):
     """Host half of the batch pipeline.
 
@@ -1929,6 +2194,7 @@ def _batch_finish(
         return (g.reshape(-1, 2), np.sort(ms)[::-1])
 
     near = {}  # frame -> (margin, raw grid, raw anchor scores): near-misses
+    acc_win = {}  # frame -> refinement window its acceptance used
 
     def pick(i, grids_i, scores_i, n, out, con_i=None, win=None):
         """Best hypothesis for frame i: strict lattice check (measured
@@ -1949,6 +2215,7 @@ def _batch_finish(
                 # No anchor decision requested: first valid window wins
                 # (score-rank order, as before).
                 out[int(i)] = g.reshape(-1, 2)
+                acc_win[int(i)] = win_size if win is None else win
                 return True
             ms = scores_i[h]
             ss = np.sort(ms)[::-1]
@@ -1957,6 +2224,7 @@ def _batch_finish(
                 best_pick = (margin, g, ms)
         if best_pick is not None and best_pick[0] >= match_score_min_diff:
             out[int(i)] = apply_anchor(best_pick[1], best_pick[2])
+            acc_win[int(i)] = win_size if win is None else win
             return True
         if best_pick is not None:
             cur = near.get(int(i))
@@ -2193,7 +2461,8 @@ def _batch_finish(
                 ss = np.sort(ms)[::-1]
                 if ss[0] - ss[1] >= match_score_min_diff:
                     out[int(i)] = apply_anchor(near[i][1], ms)
-    return out
+                    acc_win[int(i)] = win_size
+    return (out, acc_win) if return_win else out
 
 
 def detect_chessboard_batches(
@@ -2209,6 +2478,7 @@ def detect_chessboard_batches(
     subpix_winSize=(5, 5),
     adaptive_threshold=True,
     normalize_image=True,
+    coarse_downscale=1,
     **unsupported,
 ):
     """Double-buffered batch detection over an iterable of frame batches.
@@ -2218,7 +2488,9 @@ def detect_chessboard_batches(
     dispatched before batch k's host lattice ordering runs, so host work
     overlaps the accelerator's compute and (on remote devices) transfers.
     This is the streaming shape of ``detect_chessboard_batch`` — same
-    options, same per-batch results.
+    options, same per-batch results (including ``coarse_downscale`` — see
+    there; it cuts the link bytes ~f^2-fold, which dominates streaming
+    throughput on narrow host->device links).
     """
     del adaptive_threshold  # parity arg; response is offset invariant
     if unsupported or scale_factor != 1:
@@ -2239,24 +2511,46 @@ def detect_chessboard_batches(
             )
         return
     win_size = _subpix_win(subpix_winSize)
+    lowband = coarse_downscale and coarse_downscale > 1
+    f = int(coarse_downscale) if lowband else 1
 
-    prev = None  # (stage1 device arrays, batch size)
-    for images in batches:
-        cur = None
-        if len(images):
-            cur = (
-                _batch_dispatch(
-                    images, max_candidates, nms_radius, win_size,
-                    board_shape=board_shape, template_size=template_size,
-                ),
-                len(images),
-            )
-        if prev is not None:
-            yield _batch_finish(
-                prev[0], prev[1], board_shape, reorder, match_score_min_diff,
-                template_size, win_size, normalize_image=normalize_image,
+    def dispatch(images):
+        if lowband:
+            s1, frames, params_low = _lowband_dispatch(
+                images, board_shape=board_shape,
                 max_candidates=max_candidates, nms_radius=nms_radius,
+                template_size=template_size, win_size=win_size, f=f,
             )
+            return (s1, frames, params_low, images)
+        return (
+            _batch_dispatch(
+                images, max_candidates, nms_radius, win_size,
+                board_shape=board_shape, template_size=template_size,
+            ),
+            len(images),
+        )
+
+    def finish(state):
+        if lowband:
+            s1, frames, params_low, images = state
+            return _lowband_finish(
+                s1, frames, params_low, images, board_shape=board_shape,
+                reorder=reorder, match_score_min_diff=match_score_min_diff,
+                max_candidates=max_candidates, nms_radius=nms_radius,
+                template_size=template_size, win_size=win_size,
+                normalize_image=normalize_image, f=f,
+            )
+        return _batch_finish(
+            state[0], state[1], board_shape, reorder, match_score_min_diff,
+            template_size, win_size, normalize_image=normalize_image,
+            max_candidates=max_candidates, nms_radius=nms_radius,
+        )
+
+    prev = None  # dispatch state for the in-flight batch
+    for images in batches:
+        cur = dispatch(images) if len(images) else None
+        if prev is not None:
+            yield finish(prev)
         elif cur is None:
             yield {}
             continue
@@ -2267,8 +2561,4 @@ def detect_chessboard_batches(
         if cur is None:
             yield {}
     if prev is not None:
-        yield _batch_finish(
-            prev[0], prev[1], board_shape, reorder, match_score_min_diff,
-            template_size, win_size, normalize_image=normalize_image,
-            max_candidates=max_candidates, nms_radius=nms_radius,
-        )
+        yield finish(prev)

@@ -496,12 +496,45 @@ def _analytic_pred_and_jacs(cam_params, pose_params, objpoints, jac_dtype=None):
     rho, tp = pose_params[:, :3], pose_params[:, 3:]
     R_c = so3_exp(rvec)  # (C,3,3)
     R_p = so3_exp(rho)  # (F,3,3)
-    Rb = jnp.einsum("nj,fij->fni", objpoints, R_p)  # (F,N,3)
-    p_w = Rb + tp[:, None, :]
-    q = jnp.einsum("fnj,cij->cfni", p_w, R_c) + tvec[:, None, None, :]
+
+    # With f64 data the two 3-long matvecs of the PRIMAL chain are written
+    # as explicit broadcast multiply-adds, not einsums: an emulated-f64
+    # einsum takes XLA:TPU's emulated-matmul path (measured 1.8x of the
+    # whole 64cam x 20k block build; elementwise double-f32 arithmetic on
+    # the VPU is what the emulation does well). In f32 the einsum form is
+    # ~20% faster (measured), so it stays the non-emulated path.
+    emulated = dtype == jnp.float64 and jax.default_backend() != "cpu"
+
+    def matvec3(R, v, batch_R_left):
+        """R (A,3,3) applied to v (B,N,3) -> (A or B leading) 3-vectors."""
+        if batch_R_left:  # (C,3,3) x (F,N,3) -> (C,F,N,3)
+            Rb_ = R[:, None, None]  # (C,1,1,3,3)
+            vb = v[None]  # (1,F,N,3)
+        else:  # (F,3,3) x (N,3) -> (F,N,3)
+            Rb_ = R[:, None]  # (F,1,3,3)
+            vb = v[None]  # (1,N,3)
+        return jnp.stack(
+            [
+                Rb_[..., i, 0] * vb[..., 0]
+                + Rb_[..., i, 1] * vb[..., 1]
+                + Rb_[..., i, 2] * vb[..., 2]
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+
+    if emulated:
+        Rb = matvec3(R_p, objpoints, batch_R_left=False)  # (F,N,3)
+        p_w = Rb + tp[:, None, :]
+        q = matvec3(R_c, p_w, batch_R_left=True) + tvec[:, None, None, :]
+    else:
+        Rb = jnp.einsum("nj,fij->fni", objpoints, R_p)  # (F,N,3)
+        p_w = Rb + tp[:, None, :]
+        q = jnp.einsum("fnj,cij->cfni", p_w, R_c) + tvec[:, None, None, :]
     Z = q[..., 2]
     Zs = jnp.where(jnp.abs(Z) < 1e-12, jnp.ones_like(Z), Z)
-    x, y = q[..., 0] / Zs, q[..., 1] / Zs
+    invZp = 1.0 / Zs  # one (emulated-f64) division per point, not two
+    x, y = q[..., 0] * invZp, q[..., 1] * invZp
     r2 = x * x + y * y
     k1b, k2b = k1[:, None, None], k2[:, None, None]
     s = 1.0 + r2 * (k1b + r2 * k2b)
@@ -585,14 +618,27 @@ def _linearize_analytic(cam_params, pose_params, obs, mask, objpoints, opts):
     )
     m = mask[..., None]  # (C,F,N,1) -> broadcasts over the uv axis
     r = jnp.where(m, jnp.nan_to_num(obs) - pred, 0.0)  # data dtype
-    w = jnp.where(m, _robust_weights(r**2, opts), 0.0)
-    cost = _robust_cost(jnp.where(m, r**2, 0.0), opts)
-
     gd = jnp.dtype(opts.grad_dtype) if opts.grad_dtype else data_dtype
-    wg = w.astype(gd)
+    cd = jnp.dtype(opts.cost_dtype) if opts.cost_dtype else data_dtype
+    # The residual VALUE r is the precision-critical quantity (obs - pred
+    # cancels ~4 digits; formed in the data dtype above). The robust WEIGHT
+    # w = sqrt(rho'(r^2)) and the per-observation loss rho(r^2) are smooth
+    # functions of an already-accurate r — no cancellation — so with the
+    # grad_dtype/cost_dtype contracts opted in they run in those dtypes:
+    # on TPU this removes the emulated-f64 pow/sqrt over every observation
+    # (measured a dominant term of the config-5 block build). The cost's
+    # cross-frame accumulation still runs in the data dtype.
+    r_g = r.astype(gd)
+    w = jnp.where(m, _robust_weights(r_g**2, opts), 0.0)
+    rho = _robust_cost(
+        jnp.where(m, r_g.astype(cd) ** 2, 0.0), opts, axis=(-2, -1)
+    )  # (C, F) per-frame partials in cost_dtype
+    cost = jnp.sum(rho.astype(data_dtype))
+
+    wg = w  # already grad_dtype
     Aw = jnp.where(m[..., None], A.astype(gd) * wg[..., None], 0.0)
     Bw = jnp.where(m[..., None], B.astype(gd) * wg[..., None], 0.0)
-    rw = (r * w).astype(gd)
+    rw = r_g * w
 
     bd = jnp.dtype(opts.block_dtype) if opts.block_dtype else data_dtype
     Ab, Bb = Aw.astype(bd), Bw.astype(bd)

@@ -72,7 +72,7 @@ def main():
         detect_chessboard_batches,
     )
 
-    def measure(batch, rounds):
+    def measure(batch, rounds, coarse_downscale=1):
         """Pipelined throughput (the production process_video shape):
         device stage k+1 dispatched before host ordering of batch k.
         Every round's frames differ (fresh sensor noise) so no relay/cache
@@ -91,22 +91,37 @@ def main():
             for _ in range(rounds)
         ]
         # warm-up compiles the device stages for this batch shape
-        next(detect_chessboard_batches(iter(batches[:1]), board_shape=BOARD))
+        next(
+            detect_chessboard_batches(
+                iter(batches[:1]), board_shape=BOARD,
+                coarse_downscale=coarse_downscale,
+            )
+        )
         t0 = time.time()
         n_det = 0
         for found in detect_chessboard_batches(
-            iter(batches), board_shape=BOARD
+            iter(batches), board_shape=BOARD,
+            coarse_downscale=coarse_downscale,
         ):
             n_det += len(found)
         wall = time.time() - t0
         return batch * rounds / wall, n_det / (batch * rounds)
 
+    # Full-res path at two batch sizes, plus the low-bandwidth path
+    # (coarse stages at 1/f res, full-res accuracy from per-corner
+    # patches): on a narrow host->device link the latter is the shape a
+    # production deployment would run, uploading ~1/f^2 of the bytes.
     results = {}
-    for batch in (32, 128):
-        fps_b, rate_b = measure(batch, ROUNDS)
-        results[batch] = (fps_b, rate_b)
-        print(f"batch {batch}: {fps_b:.1f} fps, rate {rate_b:.3f}", flush=True)
-    best_batch = max(results, key=lambda b: results[b][0])
+    for batch, f in ((32, 1), (128, 1), (128, 2), (128, 3)):
+        key = f"{batch}" if f == 1 else f"{batch}/ds{f}"
+        fps_b, rate_b = measure(batch, ROUNDS, coarse_downscale=f)
+        results[key] = (fps_b, rate_b)
+        print(
+            f"batch {key}: {fps_b:.1f} fps, rate {rate_b:.3f}", flush=True
+        )
+    # Headline: fastest config that holds full detection rate.
+    ok = {k: v for k, v in results.items() if v[1] >= 1.0} or results
+    best_batch = max(ok, key=lambda b: ok[b][0])
     fps, rate = results[best_batch]
 
     # Device-resident rate: frames already in HBM (batched stage 1 + host
@@ -204,6 +219,9 @@ def main():
         "rounds": ROUNDS,
         "detection_rate": round(rate, 3),
         "per_batch_fps": {str(b): round(results[b][0], 2) for b in results},
+        "per_batch_rate": {
+            str(b): round(results[b][1], 3) for b in results
+        },
         "device_resident_fps": round(fps_dev, 2),
         "device_resident_rate": round(rate_dev, 3),
         "host_device_link_note": (
