@@ -361,7 +361,45 @@ def _escalated_hole_budget(n_corners):
     return min(_HOLE_TOLERANCE_OCCLUDED, max(_HOLE_TOLERANCE, n_corners // 7))
 
 
-def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
+def _lines_cover(cells_ij, max_lines=2, tol=0.75):
+    """True when the integer lattice cells are coverable by <= max_lines
+    straight lines (within ``tol`` cells). An occluding bar crosses the
+    board along a pixel-space line; homographies map lines to lines, so
+    its killed corners are collinear in LATTICE coordinates too — the
+    signature that lets the occlusion escalation accept more holes than
+    the unstructured budget without admitting scattered clutter windows.
+    """
+    from itertools import combinations
+
+    pts = np.asarray(cells_ij, float)
+    if len(pts) <= 2 * max_lines:
+        return True
+
+    def best_line_mask(sub):
+        best = None
+        for a, b in combinations(range(len(sub)), 2):
+            d = sub[b] - sub[a]
+            nrm = np.hypot(d[0], d[1])
+            if nrm < 1e-9:
+                continue
+            n = np.array([-d[1], d[0]]) / nrm
+            m = np.abs((sub - sub[a]) @ n) <= tol
+            if best is None or m.sum() > best.sum():
+                best = m
+        return best
+
+    m1 = best_line_mask(pts)
+    if m1 is None:
+        return False
+    rest = pts[~m1]
+    if len(rest) <= 2:
+        return True
+    m2 = best_line_mask(rest)
+    return m2 is not None and bool(m2.all())
+
+
+def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None,
+                        rung=0):
     """Score-filter, dedup, pitch estimate, and seeded BFS lattice growth —
     the numpy reference path (also the parity oracle for the C++ port in
     native/src/lattice.cc). Returns ``(pts, sc, pitch, grid)``: the deduped
@@ -403,10 +441,20 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
     if len(pts) < n_needed:
         return pts, sc, 0.0, None
 
-    # Pairwise distances; lattice pitch ~ median nearest-neighbor distance.
+    # Pairwise distances; lattice pitch ~ nearest-neighbor spacing among
+    # the TOP-n_needed candidates by score. Structured clutter (an
+    # occlusion bar's edge crossing the board draws a dense LINE of
+    # pseudo-corners every ~pitch/3, and gives bar-adjacent TRUE corners a
+    # near clutter neighbor) contaminates the small end of the NN
+    # distribution — measured: two 10 px bars drag the plain median to
+    # 15-19 px on a 40 px board and detection to 0/24. The growth loop
+    # therefore tries a LADDER of NN quantiles (median first — exactly the
+    # historical estimate on clean frames — then upper quantiles, which
+    # land on the true spacing when the lower half is clutter).
     d2 = d2s[np.ix_(alive, alive)]
     np.fill_diagonal(d2, np.inf)
-    pitch = np.median(np.sqrt(d2.min(axis=1)))
+    top = min(n_needed, len(pts))
+    pitch = np.median(np.sqrt(d2[:top, :top].min(axis=1)))
 
     used_mask = np.zeros(len(pts), bool)
 
@@ -426,11 +474,41 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
         np.sum((pts - centroid) ** 2, axis=-1), kind="stable"
     )
 
-    def grow_from(seed):
+    def grow_from(seed, rung):
+        """Grow from ``seed``; returns (grid_or_None, pitch_used).
+
+        Rung 0 is the historical growth: basis vectors from the seed's
+        absolute nearest neighbors, admission tolerance from the global
+        median pitch. Upper rungs handle STRUCTURED clutter (an occlusion
+        bar's edge draws a dense line of pseudo-corners a fraction of the
+        board pitch apart, poisoning both the median and the seed's
+        nearest neighbor): rung r takes the seed's r-th distinct
+        neighbor-DISTANCE SCALE (scales separated by >1.5x) as the pitch
+        hypothesis and picks basis vectors within that scale's band. The
+        caller accepts a rung only when window extraction succeeds.
+        """
         order = np.argsort(d2[seed], kind="stable")
-        v1 = pts[order[0]] - pts[seed]
+        if rung == 0:
+            cand_idx = [int(j) for j in order[:6]]
+            p = pitch
+        else:
+            ds = np.sqrt(d2[seed][order[:12]])
+            finite = ds[np.isfinite(ds)]
+            scale_ix = [0]
+            for k in range(1, len(finite)):
+                if finite[k] > 1.5 * finite[scale_ix[-1]]:
+                    scale_ix.append(k)
+            if rung >= len(scale_ix):
+                return None, pitch
+            p = float(finite[scale_ix[rung]])
+            in_band = (ds >= 0.7 * p) & (ds <= 1.45 * p)
+            cand_idx = [int(order[k]) for k in range(len(ds)) if in_band[k]]
+        if not cand_idx:
+            return None, p
+        v1 = pts[cand_idx[0]] - pts[seed]
+        first = cand_idx[0]
         v2 = None
-        for j in order[1:6]:
+        for j in cand_idx[1:6]:
             cand = pts[j] - pts[seed]
             cosang = abs(np.dot(cand, v1)) / (
                 np.linalg.norm(cand) * np.linalg.norm(v1) + 1e-30
@@ -439,9 +517,9 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
                 v2 = cand
                 break
         if v2 is None:
-            return None
+            return None, p
 
-        grid = {(0, 0): seed, (1, 0): int(order[0])}
+        grid = {(0, 0): seed, (1, 0): first}
         # Virtual vertices: a lattice cell with no candidate (a hole —
         # dimmed saddle, occlusion, weak pseudo-corner filtered by the
         # score cut) must not BLOCK the BFS, or the reachable region —
@@ -460,10 +538,10 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
             return pts[idx] if idx >= 0 else vpos[cell]
 
         used_mask[:] = False
-        used_mask[seed] = used_mask[order[0]] = True
-        j2, _ = nearest(pts[seed] + v2, pitch_tol * pitch * 2)
+        used_mask[seed] = used_mask[first] = True
+        j2, _ = nearest(pts[seed] + v2, pitch_tol * p * 2)
         if j2 is None:
-            return None
+            return None, p
         grid[(0, 1)] = j2
         used_mask[j2] = True
 
@@ -503,7 +581,7 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
                                 break
                         if pred is None:
                             continue
-                    cand, _ = nearest(pred, pitch_tol * pitch)
+                    cand, _ = nearest(pred, pitch_tol * p)
                     if cand is not None:
                         grid[tgt] = cand
                         vpos.pop(tgt, None)
@@ -522,28 +600,36 @@ def _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes=None):
         # cells filled by homography prediction) — requiring a full
         # n_needed here would veto exactly the grids the hole tolerance
         # exists for.
-        return real if len(real) >= n_needed - hole_budget else None
+        return (real, p) if len(real) >= n_needed - hole_budget else (None, p)
 
+    # Rung 0 is the exact historical growth; upper rungs re-grow at the
+    # seed's higher neighbor-distance scales. The CALLER walks rungs —
+    # growth at a clutter pitch can "succeed" with a bogus fine lattice
+    # that only window extraction can reject, so rung acceptance belongs
+    # at the window level (order_grid_points).
     grid = None
     for seed in seed_order[:5]:
-        grid = grow_from(int(seed))
+        grid, p_used = grow_from(int(seed), rung)
         if grid is not None:
+            pitch = p_used
             break
     return pts, sc, pitch, grid
 
 
-def _grow_lattice(pts, sc, n_needed, pitch_tol, max_holes=None):
+def _grow_lattice(pts, sc, n_needed, pitch_tol, max_holes=None, rung=0):
     """Native (C++) lattice growth when the runtime is available, numpy
     otherwise — identical results (tests/test_native_lattice.py). The C++
-    port bakes in the default hole budget; a non-default ``max_holes``
-    (the rare occlusion-escalation retry) takes the numpy path."""
-    if max_holes is None or max_holes == _HOLE_TOLERANCE:
+    port bakes in the default hole budget and the rung-0 (median pitch)
+    estimate; a non-default ``max_holes`` (the occlusion-escalation retry)
+    or an upper pitch-ladder ``rung`` takes the numpy path."""
+    if rung == 0 and (max_holes is None or max_holes == _HOLE_TOLERANCE):
         from . import native_lattice
 
         res = native_lattice.grow_lattice(pts, sc, n_needed, pitch_tol)
         if res is not None:
             return res
-    return _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes)
+    return _grow_lattice_numpy(pts, sc, n_needed, pitch_tol, max_holes,
+                               rung=rung)
 
 
 def order_grid_points(
@@ -570,131 +656,229 @@ def order_grid_points(
     rows, cols = board_shape
     n_needed = rows * cols
     hole_budget = _HOLE_TOLERANCE if max_holes is None else int(max_holes)
-    _empty = None if n_windows == 1 else []
-    pts = np.asarray(candidates, dtype=float)
-    sc = np.asarray(scores, dtype=float)
-    if len(pts) < n_needed:
-        return _empty
-    pts, sc, pitch, grid = _grow_lattice(
-        pts, sc, n_needed, pitch_tol, max_holes
+    # Structured-occlusion extension (escalated retries only): an occluding
+    # bar kills up to max(rows, cols) corners along ONE line — more than
+    # any scattered-hole budget can safely admit. Windows whose missing
+    # cells exceed ``hole_budget`` are still accepted up to
+    # ``struct_budget`` when the misses are coverable by <= 2 lattice
+    # lines (_lines_cover); anchor margin + smoothness still gate them.
+    escalated = max_holes is not None and max_holes > _HOLE_TOLERANCE
+    struct_budget = (
+        min(2 * max(rows, cols), n_needed // 3) if escalated else hole_budget
     )
-    if grid is None:
+    struct_budget = max(struct_budget, hole_budget)
+    _empty = None if n_windows == 1 else []
+    pts_in = np.asarray(candidates, dtype=float)
+    sc_in = np.asarray(scores, dtype=float)
+    if len(pts_in) < n_needed:
         return _empty
 
-    # Extract the BEST complete window whose spans match {rows, cols}: BFS
-    # growth can absorb lattice-consistent clutter corners just off the
-    # board, creating several complete windows; true board corners carry the
-    # strongest saddle scores, so rank windows by (min cell score, total
-    # score) — a window containing even one clutter cell loses on the min.
-    # Output follows the REFERENCE's uvs convention: consecutive points step
-    # along the board_shape[0]-point axis, i.e. uvs.reshape(board_shape[1],
-    # board_shape[0], 2) recovers the lattice (detection.py:461 reshape).
-    keys = np.array(list(grid.keys()))
-    imin, jmin = keys.min(0)
-    imax, jmax = keys.max(0)
-    windows = []
-    for (nr, nc) in ((cols, rows), (rows, cols)):
-        for i0 in range(imin, imax - nr + 2):
-            for j0 in range(jmin, jmax - nc + 2):
-                cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
-                present = [c for c in cells if c in grid]
-                # Cheap early-out: weak-counting below only ever INCREASES
-                # the number of holes, so windows already over the
-                # tolerance skip the score/median work (this loop
-                # enumerates hundreds of positions on clutter-grown grids).
-                if len(cells) - len(present) > hole_budget:
-                    continue
-                cell_sc = np.array([sc[grid[c]] for c in present])
-                # Cells whose saddle score sits far below the window's own
-                # median are board-boundary / clutter pseudo-corners, not
-                # chessboard corners (measured on the hard-frame bench:
-                # fakes <= 0.32x median, dim-but-true corners >= 0.64x).
-                # Count them as holes: a window shifted onto the board
-                # margin then exceeds the hole tolerance and loses to the
-                # true window, instead of outranking it as "complete".
-                weak = cell_sc < 0.45 * np.median(cell_sc)
-                good = frozenset(
-                    c for c, w in zip(present, weak) if not w
-                )
-                n_missing = len(cells) - len(good)
-                # Tolerate a few holes: a clutter overhang or a dimmed
-                # saddle can push 1-3 true corners out of the candidate
-                # top-K (or below the weak-score cut), which otherwise
-                # vetoes the whole board. Holes are filled by homography
-                # prediction below; complete windows always outrank holed
-                # ones, and shifted windows carry >= 5 pseudo-corners so
-                # the tolerance never admits them.
-                if n_missing > hole_budget:
-                    continue
-                good_sc = cell_sc[~weak]
-                windows.append(
-                    (
-                        (-n_missing, good_sc.min(), good_sc.sum()),
-                        (nr, nc),
-                        cells,
-                        good,
+    def _extract(pts, sc, pitch, grid):
+
+        # Extract the BEST complete window whose spans match {rows, cols}: BFS
+        # growth can absorb lattice-consistent clutter corners just off the
+        # board, creating several complete windows; true board corners carry the
+        # strongest saddle scores, so rank windows by (min cell score, total
+        # score) — a window containing even one clutter cell loses on the min.
+        # Output follows the REFERENCE's uvs convention: consecutive points step
+        # along the board_shape[0]-point axis, i.e. uvs.reshape(board_shape[1],
+        # board_shape[0], 2) recovers the lattice (detection.py:461 reshape).
+        keys = np.array(list(grid.keys()))
+        imin, jmin = keys.min(0)
+        imax, jmax = keys.max(0)
+        windows = []
+        for (nr, nc) in ((cols, rows), (rows, cols)):
+            for i0 in range(imin, imax - nr + 2):
+                for j0 in range(jmin, jmax - nc + 2):
+                    cells = [(i0 + a, j0 + b) for a in range(nr) for b in range(nc)]
+                    present = [c for c in cells if c in grid]
+                    # Cheap early-out: weak-counting below only ever INCREASES
+                    # the number of holes, so windows already over the
+                    # tolerance skip the score/median work (this loop
+                    # enumerates hundreds of positions on clutter-grown grids).
+                    if len(cells) - len(present) > struct_budget:
+                        continue
+                    cell_sc = np.array([sc[grid[c]] for c in present])
+                    # Cells whose saddle score sits far below the window's own
+                    # median are board-boundary / clutter pseudo-corners, not
+                    # chessboard corners (measured on the hard-frame bench:
+                    # fakes <= 0.32x median, dim-but-true corners >= 0.64x).
+                    # Count them as holes: a window shifted onto the board
+                    # margin then exceeds the hole tolerance and loses to the
+                    # true window, instead of outranking it as "complete".
+                    weak = cell_sc < 0.45 * np.median(cell_sc)
+                    good = frozenset(
+                        c for c, w in zip(present, weak) if not w
                     )
-                )
-    windows.sort(key=lambda wdw: wdw[0], reverse=True)
+                    n_missing = len(cells) - len(good)
+                    # Tolerate a few holes: a clutter overhang or a dimmed
+                    # saddle can push 1-3 true corners out of the candidate
+                    # top-K (or below the weak-score cut), which otherwise
+                    # vetoes the whole board. Holes are filled by homography
+                    # prediction below; complete windows always outrank holed
+                    # ones, and shifted windows carry >= 5 pseudo-corners so
+                    # the tolerance never admits them.
+                    if n_missing > struct_budget:
+                        continue
+                    if n_missing > hole_budget:
+                        missing = [c for c in cells if c not in good]
+                        if not _lines_cover(missing):
+                            continue
+                        # A window shifted half off the board ALSO loses a
+                        # collinear set — exactly its boundary row/col. An
+                        # occluder crosses the interior; reject structured
+                        # windows whose loss is a whole window boundary.
+                        mset = set(missing)
+                        edge = False
+                        for line in (
+                            [cells[b] for b in range(nc)],
+                            [cells[(nr - 1) * nc + b] for b in range(nc)],
+                        ):
+                            edge |= sum(c in mset for c in line) >= nc - 1
+                        for line in (
+                            [cells[a * nc] for a in range(nr)],
+                            [cells[a * nc + nc - 1] for a in range(nr)],
+                        ):
+                            edge |= sum(c in mset for c in line) >= nr - 1
+                        if edge:
+                            continue
+                        # A lattice grown at HALF the true pitch aliases:
+                        # its interleaved lines land mid-square where no
+                        # saddle exists, so complete lattice-parallel lines
+                        # at EVERY OTHER index go missing. Two parallel
+                        # occluding bars also lose two full lines, but at
+                        # arbitrary spacing — reject only the period-2
+                        # pattern.
+                        full_rows = [
+                            a for a in range(nr)
+                            if all((i0 + a, j0 + b) in mset for b in range(nc))
+                        ]
+                        full_cols = [
+                            b for b in range(nc)
+                            if all((i0 + a, j0 + b) in mset for a in range(nr))
+                        ]
+                        alias = any(
+                            len(fl) >= 2
+                            and all(np.diff(fl) == 2)
+                            for fl in (full_rows, full_cols)
+                        )
+                        if alias:
+                            continue
+                    good_sc = cell_sc[~weak]
+                    windows.append(
+                        (
+                            (-n_missing, good_sc.min(), good_sc.sum()),
+                            (nr, nc),
+                            cells,
+                            good,
+                        )
+                    )
+        windows.sort(key=lambda wdw: wdw[0], reverse=True)
 
-    def fill_holes(cells, good):
-        """Pixel positions for a window, homography-predicting missing or
-        weak (pseudo-corner) cells from the good ones (plain numpy DLT —
-        this host helper must not dispatch to a device)."""
-        present = [(c, pts[grid[c]]) for c in cells if c in good]
-        if len(present) == len(cells):
-            return np.stack([p for _, p in present])
-        src = np.array([c for c, _ in present], float)
-        dst = np.stack([p for _, p in present])
-        Hm = _dlt_homography_np(src, dst)
-        lookup = dict(present)
-        out = []
-        for c in cells:
-            if c in lookup:
-                out.append(lookup[c])
+        def fill_holes(cells, good):
+            """Pixel positions for a window, homography-predicting missing or
+            weak (pseudo-corner) cells from the good ones (plain numpy DLT —
+            this host helper must not dispatch to a device)."""
+            present = [(c, pts[grid[c]]) for c in cells if c in good]
+            if len(present) == len(cells):
+                return np.stack([p for _, p in present])
+            src = np.array([c for c, _ in present], float)
+            dst = np.stack([p for _, p in present])
+            Hm = _dlt_homography_np(src, dst)
+            lookup = dict(present)
+            out = []
+            for c in cells:
+                if c in lookup:
+                    out.append(lookup[c])
+                else:
+                    v = Hm @ np.array([c[0], c[1], 1.0])
+                    out.append(v[:2] / v[2])
+            return np.stack(out)
+
+        def smooth_enough(uv_grid):
+            # Lattice validity: second differences along each axis measure the
+            # local curvature of the point grid. A genuine board is smooth even
+            # under strong lens distortion/perspective (measured max ~0.8 px at
+            # k1=-0.28); a clutter-substituted cell jumps by ~0.35*pitch (the
+            # BFS admission tolerance, ~10 px). Threshold well between the two.
+            # Unrefined (integer NMS) positions carry up to +-0.5 px rounding
+            # per point -> up to 2 px of extra second difference; callers that
+            # order before subpixel refinement (refined=False) re-validate with
+            # the strict limit after refining (see _grid_smoothness_ok).
+            lim = max(0.15 * pitch, 2.5) + (0.0 if refined else 4.0 * position_jitter)
+            for ax in (0, 1):
+                d2d = np.diff(uv_grid, n=2, axis=ax)
+                if d2d.size and np.linalg.norm(d2d, axis=-1).max() > lim:
+                    return False
+            return True
+
+        def lattice_ends_at(uv_grid):
+            """True when no candidate line continues TWO lattice steps
+            beyond the window boundary. A window grown at HALF the true
+            pitch (or shifted onto part of a larger structure) covers only
+            part of the board: two of its steps beyond the boundary land
+            back on real board corners. A correct window's +2 line lies in
+            the blank margin — one step PAST the board-edge T-junction
+            saddles, which is why +1 cannot discriminate (measured: the
+            true window's +1 line hits 4-7 T-junction candidates)."""
+            for ax in (0, 1):
+                g = uv_grid if ax == 0 else uv_grid.transpose(1, 0, 2)
+                for ext in (3 * g[0] - 2 * g[1], 3 * g[-1] - 2 * g[-2]):
+                    dmin = np.sqrt(
+                        ((pts[None] - ext[:, None]) ** 2).sum(-1).min(1)
+                    )
+                    hits = int((dmin < 0.3 * pitch).sum())
+                    # A continuing lattice populates most of the line; an
+                    # occluder's clutter trail crosses it in 1-2 cells.
+                    if hits >= max(3, int(0.6 * len(ext))):
+                        return False
+            return True
+
+        results = []
+        seen_cells = []
+        for key, (nr, nc), cells, good in windows:
+            uvs = fill_holes(cells, good)
+            uv_grid = uvs.reshape(nr, nc, 2)
+            if not smooth_enough(uv_grid):
+                continue
+            if -key[0] > hole_budget and not lattice_ends_at(uv_grid):
+                continue  # structured-budget window: board must END here
+            cellset = frozenset(cells)
+            if cellset in seen_cells:
+                continue
+            seen_cells.append(cellset)
+            con_grid = np.array([c not in good for c in cells]).reshape(nr, nc)
+            if (nr, nc) == (rows, cols):
+                # Make axis0 the cols-count axis.
+                uv_grid = uv_grid.transpose(1, 0, 2)
+                con_grid = con_grid.T
+            if return_masks:
+                results.append((uv_grid.reshape(-1, 2), con_grid.reshape(-1)))
             else:
-                v = Hm @ np.array([c[0], c[1], 1.0])
-                out.append(v[:2] / v[2])
-        return np.stack(out)
+                results.append(uv_grid.reshape(-1, 2))
+            if len(results) >= n_windows:
+                break
+        return results
 
-    def smooth_enough(uv_grid):
-        # Lattice validity: second differences along each axis measure the
-        # local curvature of the point grid. A genuine board is smooth even
-        # under strong lens distortion/perspective (measured max ~0.8 px at
-        # k1=-0.28); a clutter-substituted cell jumps by ~0.35*pitch (the
-        # BFS admission tolerance, ~10 px). Threshold well between the two.
-        # Unrefined (integer NMS) positions carry up to +-0.5 px rounding
-        # per point -> up to 2 px of extra second difference; callers that
-        # order before subpixel refinement (refined=False) re-validate with
-        # the strict limit after refining (see _grid_smoothness_ok).
-        lim = max(0.15 * pitch, 2.5) + (0.0 if refined else 4.0 * position_jitter)
-        for ax in (0, 1):
-            d2d = np.diff(uv_grid, n=2, axis=ax)
-            if d2d.size and np.linalg.norm(d2d, axis=-1).max() > lim:
-                return False
-        return True
-
+    # Pitch-ladder rungs: rung 0 is the historical median-pitch growth
+    # (native C++ when available); upper rungs re-grow at higher NN
+    # quantiles when no acceptable window emerged — structured clutter
+    # (occlusion-bar edges) poisons the median AND can grow a bogus fine
+    # lattice that only window extraction rejects, so rung acceptance
+    # lives here, behind the window gates.
     results = []
-    seen_cells = []
-    for _, (nr, nc), cells, good in windows:
-        uvs = fill_holes(cells, good)
-        uv_grid = uvs.reshape(nr, nc, 2)
-        if not smooth_enough(uv_grid):
+    for rung in range(3):
+        # Growth tolerates up to the structured budget of missing real
+        # cells — the per-window line-structure test above decides whether
+        # the excess is occlusion-shaped.
+        pts, sc, pitch, grid = _grow_lattice(
+            pts_in, sc_in, n_needed, pitch_tol,
+            struct_budget if escalated else max_holes, rung=rung,
+        )
+        if grid is None:
             continue
-        cellset = frozenset(cells)
-        if cellset in seen_cells:
-            continue
-        seen_cells.append(cellset)
-        con_grid = np.array([c not in good for c in cells]).reshape(nr, nc)
-        if (nr, nc) == (rows, cols):
-            # Make axis0 the cols-count axis.
-            uv_grid = uv_grid.transpose(1, 0, 2)
-            con_grid = con_grid.T
-        if return_masks:
-            results.append((uv_grid.reshape(-1, 2), con_grid.reshape(-1)))
-        else:
-            results.append(uv_grid.reshape(-1, 2))
-        if len(results) >= n_windows:
+        results = _extract(pts, sc, pitch, grid)
+        if results:
             break
     if n_windows == 1:
         return results[0] if results else None
@@ -766,13 +950,22 @@ def _order_grid_device_one(
         alive = lax.fori_loop(0, K, dedup_body, valid)
     n_valid = jnp.sum(alive)
 
+    # Pitch from the TOP-n_needed alive candidates only (slots are score-
+    # sorted): structured clutter — an occlusion bar's edge drawing a dense
+    # line of weak pseudo-corners — would drag a global median-NN to the
+    # clutter spacing (host parity: _grow_lattice_numpy top-subset pitch).
+    topm = alive & (jnp.cumsum(alive) <= n_needed)
+    n_top = jnp.sum(topm)
+    pair = topm[:, None] & topm[None, :] & ~jnp.eye(K, dtype=bool)
+    d2_top = jnp.where(pair, d2_all, jnp.inf)
+    nnd = jnp.sqrt(jnp.min(d2_top, axis=1))
+    snn = jnp.sort(jnp.where(topm, nnd, jnp.inf))
+    lo = jnp.clip((n_top - 1) // 2, 0, K - 1)
+    hi = jnp.clip(n_top // 2, 0, K - 1)
+    pitch = 0.5 * (snn[lo] + snn[hi])
+    # Full-alive pairwise distances for the seeding/assignment below.
     pair = alive[:, None] & alive[None, :] & ~jnp.eye(K, dtype=bool)
     d2 = jnp.where(pair, d2_all, jnp.inf)
-    nnd = jnp.sqrt(jnp.min(d2, axis=1))
-    snn = jnp.sort(jnp.where(alive, nnd, jnp.inf))
-    lo = jnp.clip((n_valid - 1) // 2, 0, K - 1)
-    hi = jnp.clip(n_valid // 2, 0, K - 1)
-    pitch = 0.5 * (snn[lo] + snn[hi])
 
     # Seed at the candidate closest to the cloud centroid; basis vectors
     # from its nearest neighbour (v1) and the first of the next five
@@ -1613,9 +1806,15 @@ def detect_chessboard(
     Reference-parity signature and return convention (detection.py:300-405):
     returns ``(uvs (N,2), match_scores (4,))`` when ``reorder=True`` (or
     None if no board / ambiguous anchor), else ``uvs`` or None.
-    ``adaptive_threshold`` is accepted for parity (the saddle response is
-    intensity-offset invariant by construction; see tests/test_detection.py
-    lighting-gradient tests); ``normalize_image`` gates the
+    ``adaptive_threshold`` is accepted for parity and is deliberately a
+    no-op: the flag exists because cv2's quad extraction thresholds
+    INTENSITY, which spatially-varying illumination breaks; this detector
+    thresholds the det-Hessian saddle response, which is exactly invariant
+    to the affine lighting fields adaptiveThreshold handles (measured:
+    tests/test_adaptive_threshold.py — bit-identical response under
+    offset+ramp, candidates stable under gain fields, full-rate detection
+    under ramp+vignette with the flag at either value).
+    ``normalize_image`` gates the
     normalized-anchor rescue for hard-lighting frames (the working
     equivalent of the reference's cv2 flag, detection.py:369-373).
     ``board_shape`` is (rows, cols) as in the reference.
@@ -1990,10 +2189,12 @@ def detect_chessboard_batch(
     Returns {frame_index: detection} matching process_video's accumulation
     semantics (detection = (uvs, sorted_scores) when reorder else uvs).
     ``adaptive_threshold`` is a no-op parity flag (the saddle response is
-    intensity-offset invariant); ``normalize_image`` gates the
-    normalized-anchor rescue pass for hard-lighting frames (the working
-    equivalent of the reference's cv2 flag). Only options that genuinely
-    change per-frame behavior (a real ``scale_factor`` downscale, or
+    invariant to the lighting regimes cv2's adaptiveThreshold exists for —
+    measured in tests/test_adaptive_threshold.py); ``normalize_image``
+    gates the normalized-anchor rescue pass for hard-lighting frames (the
+    working equivalent of the reference's cv2 flag). Only options that
+    genuinely change per-frame behavior (a real ``scale_factor`` downscale,
+    or
     unknown kwargs) fall back to the single-frame path.
 
     ``coarse_downscale`` > 1 runs the coarse stages on host box-decimated

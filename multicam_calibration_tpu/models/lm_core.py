@@ -157,6 +157,17 @@ class LMOptions:
     # Observation-sparse in effect: unobserved (camera, frame) pairs cost
     # FLOPs inside a chunk but never persist blocks.
     frame_chunk: int | None = None
+    # Block-build implementation. "auto" uses the fused Pallas kernel
+    # (ops/ba_pallas.py) on TPU backends whenever the options match what it
+    # hardcodes (analytic Jacobian, the all-f32 jac/block/grad/cost recipe,
+    # soft_l1/linear loss, N*2 <= 128 board points) and falls back to the
+    # XLA path otherwise; "xla" forces the XLA path; "pallas" forces the
+    # kernel (interpret mode off-TPU — slow, for tests). The kernel fuses
+    # the whole linearization into one pass: a compensated two-float f32
+    # prediction chain stands in for the emulated-f64 residual (same
+    # accuracy class; tests/test_ba_pallas.py pins it against the f64
+    # oracle) and the Jacobian rows never touch HBM.
+    block_impl: str = "auto"
     # Jacobian construction. "analytic": closed-form chain-rule blocks
     # computed batched over (C, F, N) in one shot — ~18x fewer FLOPs than
     # the 18-tangent jacfwd (each tangent re-runs ~the primal) and the
@@ -311,6 +322,45 @@ def _pvary(tree, axis_name):
     )
 
 
+def _pallas_block_build(opts: LMOptions, data_dtype, objpoints) -> bool:
+    """Dispatch: can/should this build run the fused Pallas kernel?
+
+    The kernel hardcodes the shipped TPU recipe — analytic Jacobians, all
+    per-observation work in f32 over a two-float residual, soft_l1/linear
+    loss, one 128-lane tile of (point, u/v) pairs per frame. ``auto`` takes
+    it exactly when those hold on a TPU backend; ``pallas`` forces it
+    (interpret mode off-TPU — for tests); ``xla`` never.
+    """
+    impl = getattr(opts, "block_impl", "auto")
+    if impl == "xla":
+        return False
+    f32 = jnp.dtype("float32")
+
+    def eff(v):
+        return jnp.dtype(v) if v else jnp.dtype(data_dtype)
+
+    ok = (
+        opts.jacobian == "analytic"
+        and objpoints.shape[0] * 2 <= 128
+        and opts.loss in ("soft_l1", "linear")
+        and all(
+            eff(v) == f32
+            for v in (opts.jac_dtype, opts.block_dtype, opts.grad_dtype,
+                      opts.cost_dtype)
+        )
+    )
+    if impl == "pallas":
+        if not ok:
+            raise ValueError(
+                "block_impl='pallas' requires the analytic all-f32 recipe "
+                "and N*2 <= 128 board points"
+            )
+        return True
+    from ..ops.pallas_kernels import on_tpu
+
+    return ok and on_tpu()
+
+
 def build_normal_blocks(
     cam_params, pose_params, obs, mask, objpoints, opts: LMOptions,
     cam_free=None, pose_free=None, axis_name=None,
@@ -328,6 +378,13 @@ def build_normal_blocks(
     F = pose_params.shape[0]
 
     data_dtype = cam_params.dtype
+    use_pallas = _pallas_block_build(opts, data_dtype, objpoints)
+    if use_pallas:
+        from ..ops.ba_pallas import ba_chunk_blocks, ba_prepare_obs
+
+        # Constant across damping tries/iterations; XLA's loop-invariant
+        # code motion hoists it out of lm_solve's while loop.
+        pobs = ba_prepare_obs(obs, mask)
 
     def per_cf(cam12, pose6, obs_cf, mask_cf):
         keep_jac = opts.grad_dtype is not None and opts.jac_dtype is not None
@@ -383,7 +440,23 @@ def build_normal_blocks(
         the frame/camera sums and the result is identical to masking each
         (c, f) block before reduction.
         """
-        if opts.jacobian == "analytic":
+        if use_pallas:
+            # obs_k is the (obs_hi, obs_lo, msk) lane-layout triple.
+            Uf, Vf, Wf, gcam_f, gpose_f, cost_f = ba_chunk_blocks(
+                cam_params, pose_k, *obs_k, objpoints,
+                f_scale=opts.f_scale,
+                loss_linear=(opts.loss == "linear"),
+            )
+            # Same dtype contracts as the XLA analytic path: U/V/W
+            # accumulated f32 within the slab, gradient frame/camera
+            # reductions and the cost reduction in the data dtype.
+            U = Uf.astype(data_dtype)
+            V = Vf.astype(data_dtype)
+            W = Wf.astype(data_dtype)
+            g_cam = gcam_f.astype(data_dtype).sum(1)
+            g_pose = gpose_f.astype(data_dtype).sum(0)
+            cost = cost_f.astype(data_dtype).sum()
+        elif opts.jacobian == "analytic":
             U, V, W, g_cam, g_pose, cost = _linearize_analytic(
                 cam_params, pose_k, obs_k, mask_k, objpoints, opts
             )
@@ -411,7 +484,9 @@ def build_normal_blocks(
 
     chunk = opts.frame_chunk
     if chunk is None or chunk >= F:
-        U, V, W, g_cam, g_pose, cost = linearize(pose_params, obs, mask, pose_free)
+        U, V, W, g_cam, g_pose, cost = linearize(
+            pose_params, pobs if use_pallas else obs, mask, pose_free
+        )
         return NormalBlocks(U=U, V=V, W=W, g_cam=g_cam, g_pose=g_pose, cost=cost)
 
     # Chunked: scan over frame slabs; camera accumulators carried, per-frame
@@ -428,9 +503,17 @@ def build_normal_blocks(
         return jnp.pad(x, widths)
 
     pose_c = pad_frames(pose_params, 0).reshape(nc, chunk, 6)
-    obs_c = jnp.moveaxis(
-        pad_frames(obs, 1).reshape(C, nc, chunk, *obs.shape[2:]), 1, 0
-    )
+    if use_pallas:
+        obs_c = tuple(
+            jnp.moveaxis(
+                pad_frames(x, 1).reshape(C, nc, chunk, x.shape[-1]), 1, 0
+            )
+            for x in pobs
+        )
+    else:
+        obs_c = jnp.moveaxis(
+            pad_frames(obs, 1).reshape(C, nc, chunk, *obs.shape[2:]), 1, 0
+        )
     mask_c = jnp.moveaxis(
         pad_frames(mask, 1).reshape(C, nc, chunk, *mask.shape[2:]), 1, 0
     )

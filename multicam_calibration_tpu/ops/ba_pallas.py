@@ -130,13 +130,22 @@ def _ba_kernel(
     ci = pl.program_id(1)
     Tf = pw_ref.shape[0]
 
-    # Lane parity: even lane = u component, odd = v (of point n = lane//2).
+    # Lane parity: even lane = u component, odd = v (of point n = lane//2);
+    # lanes >= n2 are padding (zero in both masks). Explicit int32
+    # bitwise/compare ops — a bare `% 2` drags a weak int64 constant
+    # through Mosaic under x64, whose convert lowering cannot truncate it.
+    one32 = jnp.float32(1.0)
+    zero32 = jnp.float32(0.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tf, LANES), 1)
-    is_u = (lane % 2 == 0).astype(jnp.float32)
-    is_v = 1.0 - is_u
+    live = lane < jnp.int32(n2)
+    even = jnp.bitwise_and(lane, jnp.int32(1)) == jnp.int32(0)
+    # All where/select scalars below are pinned f32: a bare python float
+    # under x64 materializes an f64 constant, which Mosaic cannot lay out.
+    is_u = jnp.where(live & even, one32, zero32)
+    is_v = jnp.where(live & ~even, one32, zero32)
 
-    def cam_dd(i):  # hi/lo scalar pair from cam_ref
-        return cam_ref[0, 2 * i], cam_ref[0, 2 * i + 1]
+    def cam_dd(i):  # hi/lo scalar pair from the SMEM camera pack
+        return cam_ref[ci, 2 * i], cam_ref[ci, 2 * i + 1]
 
     fx_h, fx_l = cam_dd(0)
     fy_h, fy_l = cam_dd(1)
@@ -144,10 +153,10 @@ def _ba_kernel(
     cy_h, cy_l = cam_dd(3)
     k1_h, k1_l = cam_dd(4)
     k2_h, k2_l = cam_dd(5)
-    t_h = [cam_ref[0, 12 + 2 * i] for i in range(3)]
-    t_l = [cam_ref[0, 13 + 2 * i] for i in range(3)]
-    rc_h = [rc_ref[0, i] for i in range(9)]
-    rc_l = [rc_ref[0, 9 + i] for i in range(9)]
+    t_h = [cam_ref[ci, 12 + 2 * i] for i in range(3)]
+    t_l = [cam_ref[ci, 13 + 2 * i] for i in range(3)]
+    rc_h = [rc_ref[ci, i] for i in range(9)]
+    rc_l = [rc_ref[ci, 9 + i] for i in range(9)]
 
     pw_h = [pw_ref[:, i, :] for i in range(3)]  # (Tf, LANES) each
     pw_l = [pw_ref[:, 3 + i, :] for i in range(3)]
@@ -163,18 +172,14 @@ def _ba_kernel(
             bh, bl = _dd_scale(pw_h[j], pw_l[j], rc_h[3 * i + j])
             bl = bl + rc_l[3 * i + j] * pw_h[j]
             ah, al = _dd_add(ah, al, bh, bl)
-        q_h.append(None)
-        q_l.append(None)
-        q_h[i], q_l[i] = _dd_add(
-            ah, al,
-            jnp.full((), 1.0, jnp.float32) * t_h[i],
-            jnp.full((), 1.0, jnp.float32) * t_l[i],
-        )
+        qh_i, ql_i = _dd_add(ah, al, t_h[i], t_l[i])
+        q_h.append(qh_i)
+        q_l.append(ql_i)
 
     z_h, z_l = q_h[2], q_l[2]
-    bad_z = jnp.abs(z_h) < 1e-12
-    z_h = jnp.where(bad_z, 1.0, z_h)
-    z_l = jnp.where(bad_z, 0.0, z_l)
+    bad_z = jnp.abs(z_h) < jnp.float32(1e-12)
+    z_h = jnp.where(bad_z, one32, z_h)
+    z_l = jnp.where(bad_z, zero32, z_l)
     iz_h, iz_l = _dd_div(jnp.ones_like(z_h), jnp.zeros_like(z_h), z_h, z_l)
     x_h, x_l = _dd_mul(q_h[0], q_l[0], iz_h, iz_l)
     y_h, y_l = _dd_mul(q_h[1], q_l[1], iz_h, iz_l)
@@ -214,7 +219,7 @@ def _ba_kernel(
         z = (r * r) * (1.0 / (f_scale * f_scale))
         w = m * jax.lax.rsqrt(jnp.sqrt(1.0 + z))
         rho = (f_scale * f_scale) * (jnp.sqrt(1.0 + z) - 1.0)
-    cost_ref[0] = jnp.sum(rho * m, axis=1)
+    cost_ref[0, :, 0] = jnp.sum(rho * m, axis=1)
 
     # --- f32 Jacobian rows (per-lane), from the hi parts of the chain -----
     x = x_h
@@ -241,7 +246,7 @@ def _ba_kernel(
         wc[2] * M[0] - wc[0] * M[2],
         wc[0] * M[1] - wc[1] * M[0],
     ]
-    jlc = [jlc_ref[0, i] for i in range(9)]
+    jlc = [jlc_ref[ci, i] for i in range(9)]
     A_rot = [
         cr[0] * jlc[3 * 0 + i] + cr[1] * jlc[3 * 1 + i] + cr[2] * jlc[3 * 2 + i]
         for i in range(3)
@@ -282,10 +287,11 @@ def _ba_kernel(
     rw = r * w
 
     # --- contractions ------------------------------------------------------
-    A_stack = jnp.stack(Aw)  # (12, Tf, LANES)
-    B_stack = jnp.stack(Bw)  # (6, Tf, LANES)
+    # (12, Tf*LANES) @ (Tf*LANES, 12) on the MXU; Mosaic's tpu.matmul
+    # requires single contracting dims, hence the explicit collapse.
+    A2 = jnp.stack([a.reshape(-1) for a in Aw])  # (12, Tf*LANES)
     U = jax.lax.dot_general(
-        A_stack, A_stack, (((1, 2), (1, 2)), ((), ())),
+        A2, A2, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     ufrag_ref[0, 0] = U
@@ -365,16 +371,29 @@ def _ba_chunk_blocks(
     kernel = functools.partial(
         _ba_kernel, n_points * 2, float(f_scale), bool(loss_linear)
     )
-    out = pl.pallas_call(
+    # x64 OFF around the pallas_call: under jax_enable_x64 the grid index
+    # maps trace as int64, which Mosaic cannot legalize (observed:
+    # 'func.return (i64, i64) failed to legalize'). Everything in the
+    # kernel is explicit f32/int32, so the config flip changes nothing
+    # else.
+    with jax.enable_x64(False):
+        out = _pallas(
+            kernel, grid, Tf, nF, C, Fk, interpret
+        )(cam_pack, rc_pack, jlc_pack, posef, pw_pack, obs_hi, obs_lo, msk)
+    return out[:5] + (out[5][..., 0],)
+
+
+def _pallas(kernel, grid, Tf, nF, C, Fk, interpret):
+    return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 24), lambda fi, ci: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 18), lambda fi, ci: (ci, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9), lambda fi, ci: (ci, 0),
-                         memory_space=pltpu.VMEM),
+            # Per-camera scalar packs: whole arrays in SMEM (tiny), indexed
+            # by program_id inside the kernel — blocked specs would need
+            # (8, 128)-aligned trailing dims.
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((Tf, 12), lambda fi, ci: (fi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Tf, 6, LANES), lambda fi, ci: (fi, 0, 0),
@@ -397,7 +416,7 @@ def _ba_chunk_blocks(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Tf, 6), lambda fi, ci: (ci, fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf), lambda fi, ci: (ci, fi),
+            pl.BlockSpec((1, Tf, 1), lambda fi, ci: (ci, fi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -406,11 +425,10 @@ def _ba_chunk_blocks(
             jax.ShapeDtypeStruct((C, Fk, 72), jnp.float32),
             jax.ShapeDtypeStruct((C, Fk, 12), jnp.float32),
             jax.ShapeDtypeStruct((C, Fk, 6), jnp.float32),
-            jax.ShapeDtypeStruct((C, Fk), jnp.float32),
+            jax.ShapeDtypeStruct((C, Fk, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(cam_pack, rc_pack, jlc_pack, posef, pw_pack, obs_hi, obs_lo, msk)
-    return out
+    )
 
 
 def ba_chunk_blocks(
@@ -426,14 +444,33 @@ def ba_chunk_blocks(
     lm_core's dtype contracts (f32 in-chunk accumulation, f64 frame/camera
     gradient and cost reductions).
     """
+    import sys
+
     from .rotation import so3_exp, so3_left_jacobian
 
+    # The unrolled two-float chain + 12x6 contraction lists build a deep
+    # jaxpr; CPython's default 1000-frame limit aborts Mosaic lowering.
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
     if interpret is None:
         interpret = not on_tpu()
     C = cam_params.shape[0]
     Fk = pose_k.shape[0]
     N = objpoints.shape[0]
     f64 = cam_params.dtype == jnp.float64
+
+    # Pad the frame axis to the tile size: zero poses give a finite chain
+    # and the zero observation mask kills every padded contribution.
+    F0 = Fk
+    Tf = min(tile_f, Fk) if Fk % min(tile_f, Fk) == 0 else tile_f
+    pad = (-Fk) % Tf
+    if pad:
+        pose_k = jnp.pad(pose_k, ((0, pad), (0, 0)))
+        obs_hi, obs_lo, msk = (
+            jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            for x in (obs_hi, obs_lo, msk)
+        )
+        Fk = Fk + pad
 
     def hilo(x):
         if f64:
@@ -473,9 +510,9 @@ def ba_chunk_blocks(
         cam_pack, rc_pack, jlc_pack, posef, pw_pack,
         obs_hi, obs_lo, msk,
         n_points=N, f_scale=float(f_scale), loss_linear=bool(loss_linear),
-        tile_f=tile_f, interpret=bool(interpret),
+        tile_f=Tf, interpret=bool(interpret),
     )
     U = U_f.sum(0)  # f32 in-chunk accumulation (block_dtype contract)
-    V = V_f.reshape(Fk, 6, 6)
-    W = W_f.reshape(C, Fk, 12, 6)
-    return U, V, W, gcam, gpose, cost
+    V = V_f.reshape(Fk, 6, 6)[:F0]
+    W = W_f.reshape(C, Fk, 12, 6)[:, :F0]
+    return U, V, W, gcam[:, :F0], gpose[:, :F0], cost[:, :F0]

@@ -124,11 +124,16 @@ int mccl_order_candidates(const double* pts_in, const double* sc_in, int n_in,
   *n_keep_out = n;
   if (n < n_needed) return 0;
 
-  // --- pitch: median nearest-neighbor distance -------------------------
-  std::vector<double> nn(n);
-  for (int i = 0; i < n; ++i) {
+  // --- pitch: median nearest-neighbor distance among the TOP-n_needed
+  // candidates by score (pts is score-sorted). Structured clutter — an
+  // occlusion bar's edge draws a dense line of weak pseudo-corners —
+  // would drag a global median to the clutter spacing (numpy oracle
+  // parity: detector._grow_lattice_numpy).
+  const int top = std::min(n_needed, n);
+  std::vector<double> nn(top);
+  for (int i = 0; i < top; ++i) {
     double best = std::numeric_limits<double>::infinity();
-    for (int j = 0; j < n; ++j)
+    for (int j = 0; j < top; ++j)
       if (j != i) best = std::min(best, d2(pts[i], pts[j]));
     nn[i] = std::sqrt(best);
   }

@@ -109,6 +109,72 @@ class TestTwoFloatResidual:
             rtol=3e-5,
         )
 
+    def test_lm_solve_converges_through_kernel(self, problem):
+        """Full Schur-LM through the fused kernel (forced, interpret mode)
+        reaches the same optimum as the XLA path — the integration-level
+        guarantee that the two-float residual anchors the same fixed
+        point."""
+        from multicam_calibration_tpu.models.lm_core import lm_solve
+
+        cam, poses, obs, mask, objp = problem
+        base = dict(
+            jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
+            cost_dtype="float32", solve_dtype="float32",
+            lambda_escalation=3.0, max_iters=40,
+        )
+        cam_x, poses_x, info_x = lm_solve(
+            cam, poses, obs, mask, objp, LMOptions(block_impl="xla", **base)
+        )
+        cam_p, poses_p, info_p = lm_solve(
+            cam, poses, obs, mask, objp,
+            LMOptions(block_impl="pallas", **base),
+        )
+        cx, cp = float(info_x["final_cost"]), float(info_p["final_cost"])
+        assert cp <= cx * 1.001, (cp, cx)
+        # Parameters are only defined up to the rig's gauge; compare the
+        # physical quantity instead — per-observation reprojection RMSE.
+        def rmse(c, p):
+            r = compute_residuals(c, p, obs, mask, objp)
+            r2 = np.asarray(jnp.where(mask[..., None], r**2, 0.0))
+            return float(np.sqrt(r2.sum() / mask.sum() / 2))
+
+        assert abs(rmse(cam_p, poses_p) - rmse(cam_x, poses_x)) < 1e-3
+
+    def test_chunked_matches_dense_through_kernel(self, problem):
+        """frame_chunk path (scan + padding) through the kernel equals the
+        dense kernel path."""
+        from multicam_calibration_tpu.models.lm_core import (
+            build_normal_blocks,
+        )
+
+        cam, poses, obs, mask, objp = problem
+        base = dict(
+            jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
+            cost_dtype="float32", block_impl="pallas",
+        )
+        dense = build_normal_blocks(
+            cam, poses, obs, mask, objp, LMOptions(**base)
+        )
+        chunked = build_normal_blocks(
+            cam, poses, obs, mask, objp, LMOptions(frame_chunk=4, **base)
+        )
+        scale = float(jnp.abs(dense.U).max())
+        np.testing.assert_allclose(
+            np.asarray(chunked.U), np.asarray(dense.U), atol=1e-5 * scale
+        )
+        np.testing.assert_allclose(
+            float(chunked.cost), float(dense.cost), rtol=1e-5
+        )
+        # chunked W is (nc, C, ck, 12, 6); stitch frames back together
+        W_c = np.asarray(chunked.W)
+        W_c = np.moveaxis(W_c, 0, 1).reshape(
+            W_c.shape[1], -1, 12, 6
+        )[:, : poses.shape[0]]
+        np.testing.assert_allclose(
+            W_c, np.asarray(dense.W),
+            atol=1e-5 * float(jnp.abs(dense.W).max()),
+        )
+
     def test_masked_frames_contribute_nothing(self, problem):
         """Padded/empty observations produce exactly zero blocks (the
         guarded chain yields finite garbage; the weight mask kills it)."""
