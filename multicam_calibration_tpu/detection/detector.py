@@ -834,6 +834,35 @@ def order_grid_points(
                         return False
             return True
 
+        def ghost_of(cells, good, uv_grid):
+            """True when the window's measured cells have a coherent
+            TRANSLATED COPY among the unused candidates. Motion blur splits
+            every saddle into two displaced ghosts; a lattice grown on one
+            ghost family is complete, smooth and homographic — but no real
+            board has a uniformly-offset duplicate of itself. Rejected
+            frames fall through to the coarse-sigma rungs, which see the
+            blur's own scale and find the true (centered) lattice."""
+            mcells = [c for c in cells if c in good]
+            if len(mcells) < 8:
+                return False
+            used = {grid[c] for c in mcells}
+            P = np.stack([pts[grid[c]] for c in mcells])
+            unused = np.array(
+                [i for i in range(len(pts)) if i not in used], dtype=int
+            )
+            if len(unused) == 0:
+                return False
+            d01 = np.linalg.norm(np.diff(uv_grid, axis=0), axis=-1)
+            d02 = np.linalg.norm(np.diff(uv_grid, axis=1), axis=-1)
+            pw = float(np.median(np.concatenate([d01.ravel(), d02.ravel()])))
+            D = pts[unused][None] - P[:, None]  # (m, u, 2)
+            nrm = np.linalg.norm(D, axis=-1)
+            offs = D[(nrm > 3.0) & (nrm < 0.7 * pw)]
+            if len(offs) < 0.5 * len(P):
+                return False
+            dd = np.linalg.norm(offs[:, None] - offs[None], axis=-1)
+            return int((dd < 1.5).sum(1).max()) >= 0.6 * len(P)
+
         results = []
         seen_cells = []
         for key, (nr, nc), cells, good in windows:
@@ -841,8 +870,28 @@ def order_grid_points(
             uv_grid = uvs.reshape(nr, nc, 2)
             if not smooth_enough(uv_grid):
                 continue
-            if -key[0] > hole_budget and not lattice_ends_at(uv_grid):
-                continue  # structured-budget window: board must END here
+            if ghost_of(cells, good, uv_grid):
+                continue
+            if -key[0] > hole_budget:
+                # Structured-budget window: the board must END here...
+                if not lattice_ends_at(uv_grid):
+                    continue
+                # ...and with this many homography-FILLED cells, the
+                # measured cells must actually be homographic (rms < 1 px).
+                # Blur smears refinement and lens distortion bends the
+                # lattice; either way the fills extrapolate wrong and a
+                # plausible-looking corrupt grid slips through (measured:
+                # blur_16/24px suites admitted mean-5px grids without this).
+                mcells = [c for c in cells if c in good]
+                src = np.array(mcells, float)
+                dst = np.stack([pts[grid[c]] for c in mcells])
+                Hm = _dlt_homography_np(src, dst)
+                pr = np.concatenate(
+                    [src, np.ones((len(src), 1))], 1
+                ) @ Hm.T
+                pr = pr[:, :2] / pr[:, 2:]
+                if float(np.sqrt(((pr - dst) ** 2).sum(1).mean())) > 1.0:
+                    continue
             cellset = frozenset(cells)
             if cellset in seen_cells:
                 continue

@@ -107,213 +107,225 @@ def _dd_scale(xh, xl, c):
 
 
 def _ba_kernel(
-    n2, f_scale, loss_linear,
+    n2, f_scale, loss_linear, Tc,
     cam_ref, rc_ref, jlc_ref, posef_ref, pw_ref, obs_h_ref, obs_l_ref,
     msk_ref,
     ufrag_ref, v_ref, w_ref, gcam_ref, gpose_ref, cost_ref,
 ):
-    """One (camera, Tf-frame tile) step of the fused block build.
+    """One (Tc-camera x Tf-frame) tile of the fused block build.
 
-    Refs (VMEM blocks):
-      cam_ref   (1, 24): hi/lo pairs of [fx fy cx cy k1 k2 | tvec] (18 used)
-      rc_ref    (1, 18): R_c row-major hi (9) + lo (9)
-      jlc_ref   (1, 9):  so3_left_jacobian(rvec) f32
+    Refs:
+      cam_ref   (C, 24) SMEM: hi/lo pairs of [fx fy cx cy k1 k2 | tvec]
+      rc_ref    (C, 18) SMEM: R_c row-major hi (9) + lo (9)
+      jlc_ref   (C, 9)  SMEM: so3_left_jacobian(rvec) f32
       posef_ref (Tf, 12): [t_p f32 (3) | Jl_p row-major (9)]
       pw_ref    (Tf, 6, LANES): board points in WORLD frame, per-lane
                 duplicated over u/v: [hi xyz | lo xyz]
-      obs_*_ref (1, Tf, LANES) hi/lo observation coords, msk 0/1
+      obs_*_ref (Tc, Tf, LANES) hi/lo observation coords, msk 0/1
     Outputs:
-      ufrag_ref (1, 1, 12, 12)  V (Tf, 36) accumulated over cameras
-      w_ref (1, Tf, 72)  gcam_ref (1, Tf, 12)  gpose_ref (1, Tf, 6)
-      cost_ref (1, Tf)
+      ufrag_ref (1, Tc, 12, 12)  v_ref (Tf, 36) accumulated over camera
+      steps  w_ref (Tc, Tf, 72)  gcam_ref (Tc, Tf, 12)
+      gpose_ref (Tc, Tf, 6)  cost_ref (Tc, Tf, 1)
+
+    The per-frame geometry (world points, pose translation, Jl_p, lane
+    masks) is computed ONCE per grid step and shared by the Tc cameras of
+    the in-kernel fori loop — the loop amortizes grid-step overhead and
+    the pw DMA across cameras.
     """
-    ci = pl.program_id(1)
+    cj = pl.program_id(1)
     Tf = pw_ref.shape[0]
 
     # Lane parity: even lane = u component, odd = v (of point n = lane//2);
     # lanes >= n2 are padding (zero in both masks). Explicit int32
-    # bitwise/compare ops — a bare `% 2` drags a weak int64 constant
-    # through Mosaic under x64, whose convert lowering cannot truncate it.
+    # bitwise/compare ops and pinned-f32 where-scalars throughout: a bare
+    # `% 2` or python-float scalar drags int64/f64 constants through
+    # Mosaic under x64, which it cannot lay out.
     one32 = jnp.float32(1.0)
     zero32 = jnp.float32(0.0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (Tf, LANES), 1)
     live = lane < jnp.int32(n2)
     even = jnp.bitwise_and(lane, jnp.int32(1)) == jnp.int32(0)
-    # All where/select scalars below are pinned f32: a bare python float
-    # under x64 materializes an f64 constant, which Mosaic cannot lay out.
     is_u = jnp.where(live & even, one32, zero32)
     is_v = jnp.where(live & ~even, one32, zero32)
 
-    def cam_dd(i):  # hi/lo scalar pair from the SMEM camera pack
-        return cam_ref[ci, 2 * i], cam_ref[ci, 2 * i + 1]
-
-    fx_h, fx_l = cam_dd(0)
-    fy_h, fy_l = cam_dd(1)
-    cx_h, cx_l = cam_dd(2)
-    cy_h, cy_l = cam_dd(3)
-    k1_h, k1_l = cam_dd(4)
-    k2_h, k2_l = cam_dd(5)
-    t_h = [cam_ref[ci, 12 + 2 * i] for i in range(3)]
-    t_l = [cam_ref[ci, 13 + 2 * i] for i in range(3)]
-    rc_h = [rc_ref[ci, i] for i in range(9)]
-    rc_l = [rc_ref[ci, 9 + i] for i in range(9)]
-
     pw_h = [pw_ref[:, i, :] for i in range(3)]  # (Tf, LANES) each
     pw_l = [pw_ref[:, 3 + i, :] for i in range(3)]
-
-    # --- two-float prediction chain ---------------------------------------
-    q_h, q_l = [], []
-    for i in range(3):
-        ah, al = _dd_scale(pw_h[0], pw_l[0], rc_h[3 * i + 0])
-        # rc lo corrections enter once per product: rc = (h + l), so
-        # rc*pw = h*pw (dd) + l*pw_h (f32-level term).
-        al = al + rc_l[3 * i + 0] * pw_h[0]
-        for j in (1, 2):
-            bh, bl = _dd_scale(pw_h[j], pw_l[j], rc_h[3 * i + j])
-            bl = bl + rc_l[3 * i + j] * pw_h[j]
-            ah, al = _dd_add(ah, al, bh, bl)
-        qh_i, ql_i = _dd_add(ah, al, t_h[i], t_l[i])
-        q_h.append(qh_i)
-        q_l.append(ql_i)
-
-    z_h, z_l = q_h[2], q_l[2]
-    bad_z = jnp.abs(z_h) < jnp.float32(1e-12)
-    z_h = jnp.where(bad_z, one32, z_h)
-    z_l = jnp.where(bad_z, zero32, z_l)
-    iz_h, iz_l = _dd_div(jnp.ones_like(z_h), jnp.zeros_like(z_h), z_h, z_l)
-    x_h, x_l = _dd_mul(q_h[0], q_l[0], iz_h, iz_l)
-    y_h, y_l = _dd_mul(q_h[1], q_l[1], iz_h, iz_l)
-    xx_h, xx_l = _dd_mul(x_h, x_l, x_h, x_l)
-    yy_h, yy_l = _dd_mul(y_h, y_l, y_h, y_l)
-    r2_h, r2_l = _dd_add(xx_h, xx_l, yy_h, yy_l)
-    # s = 1 + r2*(k1 + r2*k2)
-    a_h, a_l = _dd_mul(r2_h, r2_l, k2_h * jnp.ones_like(r2_h),
-                       k2_l * jnp.ones_like(r2_h))
-    a_h, a_l = _dd_add(a_h, a_l, k1_h * jnp.ones_like(r2_h),
-                       k1_l * jnp.ones_like(r2_h))
-    a_h, a_l = _dd_mul(a_h, a_l, r2_h, r2_l)
-    s_h, s_l = _dd_add(a_h, a_l, jnp.ones_like(a_h), jnp.zeros_like(a_h))
-    xd_h, xd_l = _dd_mul(x_h, x_l, s_h, s_l)
-    yd_h, yd_l = _dd_mul(y_h, y_l, s_h, s_l)
-    # pred = f_sel * d_sel + c_sel  (lane-selected u/v)
-    d_h = is_u * xd_h + is_v * yd_h
-    d_l = is_u * xd_l + is_v * yd_l
-    f_h = is_u * fx_h + is_v * fy_h
-    f_l = is_u * fx_l + is_v * fy_l
-    c_h = is_u * cx_h + is_v * cy_h
-    c_l = is_u * cx_l + is_v * cy_l
-    p_h, p_l = _dd_mul(d_h, d_l, f_h, f_l)
-    p_h, p_l = _dd_add(p_h, p_l, c_h, c_l)
-    # residual r = obs - pred, masked; hi absorbs the compensated parts
-    o_h = obs_h_ref[0]
-    o_l = obs_l_ref[0]
-    m = msk_ref[0]
-    r_h, r_l = _dd_add(o_h, o_l, -p_h, -p_l)
-    r = (r_h + r_l) * m
-
-    # --- robust weights + cost (f32: smooth functions of an accurate r) ---
-    if loss_linear:
-        w = m
-        rho = r * r
-    else:
-        z = (r * r) * (1.0 / (f_scale * f_scale))
-        w = m * jax.lax.rsqrt(jnp.sqrt(1.0 + z))
-        rho = (f_scale * f_scale) * (jnp.sqrt(1.0 + z) - 1.0)
-    cost_ref[0, :, 0] = jnp.sum(rho * m, axis=1)
-
-    # --- f32 Jacobian rows (per-lane), from the hi parts of the chain -----
-    x = x_h
-    y = y_h
-    r2 = r2_h
-    s = s_h
-    iz = iz_h
-    k1 = k1_h
-    k2 = k2_h
-    sp = k1 + 2.0 * k2 * r2
-    d11 = s + 2.0 * x * x * sp
-    d12 = 2.0 * x * y * sp
-    d22 = s + 2.0 * y * y * sp
-    fsel = f_h
-    m0 = fsel * iz * (is_u * d11 + is_v * d12)
-    m1 = fsel * iz * (is_u * d12 + is_v * d22)
-    m2 = -(m0 * x + m1 * y)
-    M = [m0, m1, m2]  # d(pred_lane)/dq
-    # camera-frame point (for the rotation columns): w_cam = q - t = R_c p_w
-    wc = [q_h[i] - t_h[i] for i in range(3)]
-    # cross(w_cam, M) then contract with Jl_c
-    cr = [
-        wc[1] * M[2] - wc[2] * M[1],
-        wc[2] * M[0] - wc[0] * M[2],
-        wc[0] * M[1] - wc[1] * M[0],
-    ]
-    jlc = [jlc_ref[ci, i] for i in range(9)]
-    A_rot = [
-        cr[0] * jlc[3 * 0 + i] + cr[1] * jlc[3 * 1 + i] + cr[2] * jlc[3 * 2 + i]
-        for i in range(3)
-    ]
-    xy_sel = is_u * x + is_v * y
-    A = [
-        is_u * xd_h,                # d/dfx
-        is_v * yd_h,                # d/dfy
-        is_u,                       # d/dcx
-        is_v,                       # d/dcy
-        fsel * xy_sel * r2,         # d/dk1
-        fsel * xy_sel * r2 * r2,    # d/dk2
-        A_rot[0], A_rot[1], A_rot[2],
-        M[0], M[1], M[2],           # d/dt_c
-    ]
-    # pose blocks: Mc = M . R_c ; B_rot = cross(R_p b, Mc) . Jl_p
-    Mc = [
-        M[0] * rc_h[0 + i] + M[1] * rc_h[3 + i] + M[2] * rc_h[6 + i]
-        for i in range(3)
-    ]
-    tp = [posef_ref[:, i][:, None] for i in range(3)]  # (Tf,1) broadcast
+    tp = [posef_ref[:, i][:, None] for i in range(3)]  # (Tf, 1)
+    jlp = [posef_ref[:, 3 + i][:, None] for i in range(9)]
     rb = [pw_h[i] - tp[i] for i in range(3)]  # R_p b = p_w - t_p
-    crb = [
-        rb[1] * Mc[2] - rb[2] * Mc[1],
-        rb[2] * Mc[0] - rb[0] * Mc[2],
-        rb[0] * Mc[1] - rb[1] * Mc[0],
-    ]
-    jlp = [posef_ref[:, 3 + i][:, None] for i in range(9)]  # (Tf,1)
-    B_rot = [
-        crb[0] * jlp[3 * 0 + i] + crb[1] * jlp[3 * 1 + i]
-        + crb[2] * jlp[3 * 2 + i]
-        for i in range(3)
-    ]
-    B = [B_rot[0], B_rot[1], B_rot[2], Mc[0], Mc[1], Mc[2]]
 
-    Aw = [a * w for a in A]
-    Bw = [b * w for b in B]
-    rw = r * w
+    def cam_body(k, V_acc):
+        c = cj * Tc + k
 
-    # --- contractions ------------------------------------------------------
-    # (12, Tf*LANES) @ (Tf*LANES, 12) on the MXU; Mosaic's tpu.matmul
-    # requires single contracting dims, hence the explicit collapse.
-    A2 = jnp.stack([a.reshape(-1) for a in Aw])  # (12, Tf*LANES)
-    U = jax.lax.dot_general(
-        A2, A2, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        def cam_dd(i):  # hi/lo scalar pair from the SMEM camera pack
+            return cam_ref[c, 2 * i], cam_ref[c, 2 * i + 1]
+
+        fx_h, fx_l = cam_dd(0)
+        fy_h, fy_l = cam_dd(1)
+        cx_h, cx_l = cam_dd(2)
+        cy_h, cy_l = cam_dd(3)
+        k1_h, k1_l = cam_dd(4)
+        k2_h, k2_l = cam_dd(5)
+        t_h = [cam_ref[c, 12 + 2 * i] for i in range(3)]
+        t_l = [cam_ref[c, 13 + 2 * i] for i in range(3)]
+        rc_h = [rc_ref[c, i] for i in range(9)]
+        rc_l = [rc_ref[c, 9 + i] for i in range(9)]
+
+        # --- two-float prediction chain -----------------------------------
+        q_h, q_l = [], []
+        for i in range(3):
+            ah, al = _dd_scale(pw_h[0], pw_l[0], rc_h[3 * i + 0])
+            # rc lo corrections enter once per product: rc = (h + l), so
+            # rc*pw = h*pw (dd) + l*pw_h (f32-level term).
+            al = al + rc_l[3 * i + 0] * pw_h[0]
+            for j in (1, 2):
+                bh, bl = _dd_scale(pw_h[j], pw_l[j], rc_h[3 * i + j])
+                bl = bl + rc_l[3 * i + j] * pw_h[j]
+                ah, al = _dd_add(ah, al, bh, bl)
+            qh_i, ql_i = _dd_add(ah, al, t_h[i], t_l[i])
+            q_h.append(qh_i)
+            q_l.append(ql_i)
+
+        z_h, z_l = q_h[2], q_l[2]
+        bad_z = jnp.abs(z_h) < jnp.float32(1e-12)
+        z_h = jnp.where(bad_z, one32, z_h)
+        z_l = jnp.where(bad_z, zero32, z_l)
+        iz_h, iz_l = _dd_div(
+            jnp.ones_like(z_h), jnp.zeros_like(z_h), z_h, z_l
+        )
+        x_h, x_l = _dd_mul(q_h[0], q_l[0], iz_h, iz_l)
+        y_h, y_l = _dd_mul(q_h[1], q_l[1], iz_h, iz_l)
+        xx_h, xx_l = _dd_mul(x_h, x_l, x_h, x_l)
+        yy_h, yy_l = _dd_mul(y_h, y_l, y_h, y_l)
+        r2_h, r2_l = _dd_add(xx_h, xx_l, yy_h, yy_l)
+        # s = 1 + r2*(k1 + r2*k2)
+        a_h, a_l = _dd_mul(r2_h, r2_l, k2_h * jnp.ones_like(r2_h),
+                           k2_l * jnp.ones_like(r2_h))
+        a_h, a_l = _dd_add(a_h, a_l, k1_h * jnp.ones_like(r2_h),
+                           k1_l * jnp.ones_like(r2_h))
+        a_h, a_l = _dd_mul(a_h, a_l, r2_h, r2_l)
+        s_h, s_l = _dd_add(a_h, a_l, jnp.ones_like(a_h),
+                           jnp.zeros_like(a_h))
+        xd_h, xd_l = _dd_mul(x_h, x_l, s_h, s_l)
+        yd_h, yd_l = _dd_mul(y_h, y_l, s_h, s_l)
+        # pred = f_sel * d_sel + c_sel  (lane-selected u/v)
+        d_h = is_u * xd_h + is_v * yd_h
+        d_l = is_u * xd_l + is_v * yd_l
+        f_h = is_u * fx_h + is_v * fy_h
+        f_l = is_u * fx_l + is_v * fy_l
+        c_h = is_u * cx_h + is_v * cy_h
+        c_l = is_u * cx_l + is_v * cy_l
+        p_h, p_l = _dd_mul(d_h, d_l, f_h, f_l)
+        p_h, p_l = _dd_add(p_h, p_l, c_h, c_l)
+        # residual r = obs - pred, masked; hi absorbs the compensated parts
+        o_h = obs_h_ref[k]
+        o_l = obs_l_ref[k]
+        m = msk_ref[k]
+        r_h, r_l = _dd_add(o_h, o_l, -p_h, -p_l)
+        r = (r_h + r_l) * m
+
+        # --- robust weights + cost (f32: smooth functions of accurate r) --
+        if loss_linear:
+            w = m
+            rho = r * r
+        else:
+            z = (r * r) * (1.0 / (f_scale * f_scale))
+            w = m * jax.lax.rsqrt(jnp.sqrt(1.0 + z))
+            rho = (f_scale * f_scale) * (jnp.sqrt(1.0 + z) - 1.0)
+        cost_ref[k] = jnp.sum(rho * m, axis=1, keepdims=True)
+
+        # --- f32 Jacobian rows (per-lane), from the chain's hi parts ------
+        x = x_h
+        y = y_h
+        r2 = r2_h
+        s = s_h
+        iz = iz_h
+        sp = k1_h + 2.0 * k2_h * r2
+        d11 = s + 2.0 * x * x * sp
+        d12 = 2.0 * x * y * sp
+        d22 = s + 2.0 * y * y * sp
+        fsel = f_h
+        m0 = fsel * iz * (is_u * d11 + is_v * d12)
+        m1 = fsel * iz * (is_u * d12 + is_v * d22)
+        m2 = -(m0 * x + m1 * y)
+        M = [m0, m1, m2]  # d(pred_lane)/dq
+        # camera-frame point (rotation columns): w_cam = q - t = R_c p_w
+        wc = [q_h[i] - t_h[i] for i in range(3)]
+        cr = [
+            wc[1] * M[2] - wc[2] * M[1],
+            wc[2] * M[0] - wc[0] * M[2],
+            wc[0] * M[1] - wc[1] * M[0],
+        ]
+        jlc = [jlc_ref[c, i] for i in range(9)]
+        A_rot = [
+            cr[0] * jlc[3 * 0 + i] + cr[1] * jlc[3 * 1 + i]
+            + cr[2] * jlc[3 * 2 + i]
+            for i in range(3)
+        ]
+        xy_sel = is_u * x + is_v * y
+        A = [
+            is_u * xd_h,                # d/dfx
+            is_v * yd_h,                # d/dfy
+            is_u,                       # d/dcx
+            is_v,                       # d/dcy
+            fsel * xy_sel * r2,         # d/dk1
+            fsel * xy_sel * r2 * r2,    # d/dk2
+            A_rot[0], A_rot[1], A_rot[2],
+            M[0], M[1], M[2],           # d/dt_c
+        ]
+        # pose blocks: Mc = M . R_c ; B_rot = cross(R_p b, Mc) . Jl_p
+        Mc = [
+            M[0] * rc_h[0 + i] + M[1] * rc_h[3 + i] + M[2] * rc_h[6 + i]
+            for i in range(3)
+        ]
+        crb = [
+            rb[1] * Mc[2] - rb[2] * Mc[1],
+            rb[2] * Mc[0] - rb[0] * Mc[2],
+            rb[0] * Mc[1] - rb[1] * Mc[0],
+        ]
+        B_rot = [
+            crb[0] * jlp[3 * 0 + i] + crb[1] * jlp[3 * 1 + i]
+            + crb[2] * jlp[3 * 2 + i]
+            for i in range(3)
+        ]
+        B = [B_rot[0], B_rot[1], B_rot[2], Mc[0], Mc[1], Mc[2]]
+
+        Aw = [a * w for a in A]
+        Bw = [b * w for b in B]
+        rw = r * w
+
+        # --- contractions --------------------------------------------------
+        # (12, Tf*LANES) @ (Tf*LANES, 12) on the MXU; Mosaic's tpu.matmul
+        # requires single contracting dims, hence the explicit collapse.
+        A2 = jnp.stack([a.reshape(-1) for a in Aw])
+        U = jax.lax.dot_general(
+            A2, A2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ufrag_ref[0, k] = U
+        # per-frame contractions: V_f, W_f, g fragments (lane reductions)
+        v_rows = [jnp.sum(Bw[i] * Bw[j], axis=1, keepdims=True)
+                  for i in range(6) for j in range(6)]
+        w_rows = [jnp.sum(Aw[i] * Bw[j], axis=1, keepdims=True)
+                  for i in range(12) for j in range(6)]
+        w_ref[k] = jnp.concatenate(w_rows, axis=1)  # (Tf, 72)
+        gcam_ref[k] = jnp.concatenate(
+            [jnp.sum(a * rw, axis=1, keepdims=True) for a in Aw], axis=1
+        )
+        gpose_ref[k] = jnp.concatenate(
+            [jnp.sum(b * rw, axis=1, keepdims=True) for b in Bw], axis=1
+        )
+        return V_acc + jnp.concatenate(v_rows, axis=1)
+
+    V_acc = jax.lax.fori_loop(
+        0, Tc, cam_body, jnp.zeros((Tf, 36), jnp.float32)
     )
-    ufrag_ref[0, 0] = U
-    # per-frame contractions: V_f, W_f, g fragments (lane reductions)
-    v_rows = [jnp.sum(Bw[i] * Bw[j], axis=1, keepdims=True)
-              for i in range(6) for j in range(6)]
-    v_blk = jnp.concatenate(v_rows, axis=1)  # (Tf, 36)
 
-    @pl.when(ci == 0)
+    @pl.when(cj == 0)
     def _():
         v_ref[:] = jnp.zeros_like(v_ref)
 
-    v_ref[:] = v_ref[:] + v_blk
-    w_rows = [jnp.sum(Aw[i] * Bw[j], axis=1, keepdims=True)
-              for i in range(12) for j in range(6)]
-    w_ref[0] = jnp.concatenate(w_rows, axis=1)  # (Tf, 72)
-    gcam_ref[0] = jnp.concatenate(
-        [jnp.sum(a * rw, axis=1, keepdims=True) for a in Aw], axis=1
-    )
-    gpose_ref[0] = jnp.concatenate(
-        [jnp.sum(b * rw, axis=1, keepdims=True) for b in Bw], axis=1
-    )
+    v_ref[:] = v_ref[:] + V_acc
 
 
 # ---------------------------------------------------------------------------
@@ -354,11 +366,12 @@ def ba_prepare_obs(obs, mask):
 @functools.partial(
     jax.jit,
     static_argnames=("n_points", "f_scale", "loss_linear", "tile_f",
-                     "interpret"),
+                     "tile_c", "interpret"),
 )
 def _ba_chunk_blocks(
     cam_pack, rc_pack, jlc_pack, posef, pw_pack, obs_hi, obs_lo, msk,
-    n_points, f_scale=1.0, loss_linear=False, tile_f=64, interpret=False,
+    n_points, f_scale=1.0, loss_linear=False, tile_f=128, tile_c=8,
+    interpret=False,
 ):
     C = cam_pack.shape[0]
     Fk = posef.shape[0]
@@ -366,10 +379,12 @@ def _ba_chunk_blocks(
     if Fk % Tf:
         raise ValueError(f"frame chunk {Fk} not divisible by tile {Tf}")
     nF = Fk // Tf
+    Tc = next(t for t in (tile_c, 4, 2, 1) if C % t == 0)
+    nC = C // Tc
 
-    grid = (nF, C)  # camera minor: V blocks revisit consecutively
+    grid = (nF, nC)  # camera minor: V blocks revisit consecutively
     kernel = functools.partial(
-        _ba_kernel, n_points * 2, float(f_scale), bool(loss_linear)
+        _ba_kernel, n_points * 2, float(f_scale), bool(loss_linear), Tc
     )
     # x64 OFF around the pallas_call: under jax_enable_x64 the grid index
     # maps trace as int64, which Mosaic cannot legalize (observed:
@@ -378,45 +393,45 @@ def _ba_chunk_blocks(
     # else.
     with jax.enable_x64(False):
         out = _pallas(
-            kernel, grid, Tf, nF, C, Fk, interpret
+            kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret
         )(cam_pack, rc_pack, jlc_pack, posef, pw_pack, obs_hi, obs_lo, msk)
     return out[:5] + (out[5][..., 0],)
 
 
-def _pallas(kernel, grid, Tf, nF, C, Fk, interpret):
+def _pallas(kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret):
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             # Per-camera scalar packs: whole arrays in SMEM (tiny), indexed
-            # by program_id inside the kernel — blocked specs would need
-            # (8, 128)-aligned trailing dims.
+            # by program_id * Tc + k inside the kernel — blocked specs
+            # would need (8, 128)-aligned trailing dims.
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((Tf, 12), lambda fi, ci: (fi, 0),
+            pl.BlockSpec((Tf, 12), lambda fi, cj: (fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tf, 6, LANES), lambda fi, ci: (fi, 0, 0),
+            pl.BlockSpec((Tf, 6, LANES), lambda fi, cj: (fi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, LANES), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, LANES), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, LANES), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, LANES), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, LANES), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, LANES), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, 12, 12), lambda fi, ci: (fi, ci, 0, 0),
+            pl.BlockSpec((1, Tc, 12, 12), lambda fi, cj: (fi, cj, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Tf, 36), lambda fi, ci: (fi, 0),
+            pl.BlockSpec((Tf, 36), lambda fi, cj: (fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, 72), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, 72), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, 12), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, 12), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, 6), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, 6), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tf, 1), lambda fi, ci: (ci, fi, 0),
+            pl.BlockSpec((Tc, Tf, 1), lambda fi, cj: (cj, fi, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
