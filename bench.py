@@ -186,6 +186,7 @@ def main():
     # (utils/flops.py), achieved FLOP/s, and the roofline fraction = (time a
     # perfect machine would need for the same FLOPs, with f64 emulation
     # charged at ~peak_f32/10) / measured wall.
+    from multicam_calibration_tpu.models.lm_core import _pallas_block_build
     from multicam_calibration_tpu.utils.flops import lm_flops_detail
 
     nfev = int(info["nfev"])
@@ -239,6 +240,12 @@ def main():
             "n_frames_used": int(len(use_frames)),
             "platform": jax.default_backend(),
             "flops": flops_detail,
+            # Which block-build executed: the fused Pallas kernel (two-float
+            # residual, in-VMEM Jacobians; ops/ba_pallas.py) on TPU with the
+            # all-f32 recipe, the XLA analytic path otherwise.
+            "block_impl": "pallas" if _pallas_block_build(
+                opts, np.float64, objp
+            ) else "xla",
         },
     }
     line = json.dumps(result)
