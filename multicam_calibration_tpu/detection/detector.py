@@ -2004,18 +2004,20 @@ def detect_chessboard(
 def _decimate_u8(frames, f):
     """Box-mean decimate uint8 frames (B, H, W[, 3]) by integer factor ``f``.
 
-    The mean of each f x f block (rounded) — cheap uint16 numpy arithmetic
+    The mean of each f x f block (rounded) — cheap integer numpy arithmetic
     on host. Low-res pixel j covers full-res pixels [f*j, f*j + f - 1], so a
     low-res coordinate x maps back to full resolution as f*x + (f-1)/2.
+    Accumulates in uint32: uint16 overflows at f >= 17 (f^2*255 + f^2//2
+    > 65535), silently corrupting the decimated frames.
     """
     B, H, W = frames.shape[:3]
     Hc, Wc = (H // f) * f, (W // f) * f
-    x = frames[:, :Hc, :Wc].astype(np.uint16)
+    x = frames[:, :Hc, :Wc].astype(np.uint32)
     if frames.ndim == 4:
         x = x.reshape(B, Hc // f, f, Wc // f, f, frames.shape[3])
     else:
         x = x.reshape(B, Hc // f, f, Wc // f, f)
-    out = (x.sum(axis=2, dtype=np.uint16).sum(axis=3, dtype=np.uint16)
+    out = (x.sum(axis=2, dtype=np.uint32).sum(axis=3, dtype=np.uint32)
            + f * f // 2) // (f * f)
     return out.astype(np.uint8)
 

@@ -227,7 +227,7 @@ def _ba_kernel(
         # --- robust weights + cost (f32: smooth functions of accurate r) --
         if loss_linear:
             w = m
-            rho = r * r
+            rho = 0.5 * (r * r)  # _robust_cost's 0.5*sum(r2) contract
         else:
             z = (r * r) * (1.0 / (f_scale * f_scale))
             w = m * jax.lax.rsqrt(jnp.sqrt(1.0 + z))

@@ -109,6 +109,49 @@ class TestTwoFloatResidual:
             rtol=3e-5,
         )
 
+    def test_blocks_match_analytic_path_linear_loss(self, problem):
+        """loss='linear' parity: pins the kernel's 0.5*r^2 cost contract
+        (_robust_cost, lm_core.py) and the unit IRLS weights."""
+        cam, poses, obs, mask, objp = problem
+        opts = LMOptions(
+            loss="linear", jac_dtype="float32", block_dtype="float32",
+            grad_dtype="float32", cost_dtype="float32",
+        )
+        U0, V0, W0, g_cam0, g_pose0, cost0 = _linearize_analytic(
+            cam, poses, obs, mask, objp, opts
+        )
+        obs_hi, obs_lo, msk = ba_prepare_obs(obs, mask)
+        U, V, W, g_cam, g_pose, cost = ba_chunk_blocks(
+            cam, poses, obs_hi, obs_lo, msk, objp, tile_f=8,
+            loss_linear=True, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(U, np.float64), np.asarray(U0),
+            atol=2e-5 * float(jnp.abs(U0).max()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_cam, np.float64).sum(1), np.asarray(g_cam0),
+            atol=3e-5 * max(1.0, float(jnp.abs(g_cam0).max())),
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(cost, np.float64).sum()), float(cost0),
+            rtol=3e-5,
+        )
+
+    def test_auto_dispatch_is_xla(self, problem):
+        """Hardware-default policy: 'auto' must NOT route to the Pallas
+        kernel until on-chip parity is certified (VERDICT r3 #1-2)."""
+        from multicam_calibration_tpu.models.lm_core import (
+            _pallas_block_build,
+        )
+
+        _, _, _, _, objp = problem
+        opts = LMOptions(
+            jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
+            cost_dtype="float32",
+        )
+        assert not _pallas_block_build(opts, jnp.float64, objp)
+
     def test_lm_solve_converges_through_kernel(self, problem):
         """Full Schur-LM through the fused kernel (forced, interpret mode)
         reaches the same optimum as the XLA path — the integration-level
