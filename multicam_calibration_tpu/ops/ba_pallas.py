@@ -297,10 +297,17 @@ def _ba_kernel(
         # --- contractions --------------------------------------------------
         # (12, Tf*LANES) @ (Tf*LANES, 12) on the MXU; Mosaic's tpu.matmul
         # requires single contracting dims, hence the explicit collapse.
+        # precision=HIGHEST is load-bearing ON HARDWARE: preferred_element_
+        # type only pins the f32 accumulator; without an explicit precision
+        # the MXU truncates the f32 OPERANDS to one bf16 pass (~0.4%
+        # entrywise error in U — the compiled-vs-interpret divergence class
+        # that shipped in round 3; lm_solve's with_highest_precision
+        # context does not reach inside a Pallas kernel).
         A2 = jnp.stack([a.reshape(-1) for a in Aw])
         U = jax.lax.dot_general(
             A2, A2, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         ufrag_ref[0, k] = U
         # per-frame contractions: V_f, W_f, g fragments (lane reductions)

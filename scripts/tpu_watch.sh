@@ -7,8 +7,10 @@ mkdir -p /tmp/tpu_battery
 cd /root/repo
 while true; do
   # -k: the axon backend hangs inside C-grpc where SIGTERM is ignored
-  # (same reason bench.py uses a SIGKILL watchdog ladder).
-  timeout -k 30 600 python -c "
+  # (same reason bench.py uses a SIGKILL watchdog ladder). 180 s probe:
+  # a healthy backend answers in ~20-40 s; when axon is down the probe
+  # hangs, so the timeout sets the detection latency.
+  timeout -k 30 180 python -c "
 import jax
 d = jax.devices()
 import jax.numpy as jnp
@@ -17,6 +19,10 @@ print('TPU-UP', d)
 " > /tmp/tpu_battery/probe.log 2>&1
   if grep -q TPU-UP /tmp/tpu_battery/probe.log; then
     echo "$(date -u +%FT%TZ) axon up — running battery" >> /tmp/tpu_battery/status.log
+    # Parity FIRST: compiled-kernel-vs-XLA blocks + full-descent assert on
+    # the real chip (the gate any hardware-default flip must cite).
+    timeout -k 60 5400 python scripts/tpu_parity.py > /tmp/tpu_battery/parity.log 2>&1
+    echo "parity rc=$?" >> /tmp/tpu_battery/status.log
     timeout -k 60 3600 python bench.py > /tmp/tpu_battery/bench.log 2>&1
     echo "bench rc=$?" >> /tmp/tpu_battery/status.log
     timeout -k 60 3600 python scripts/bench_detection.py > /tmp/tpu_battery/detection.log 2>&1
@@ -31,5 +37,5 @@ print('TPU-UP', d)
     exit 0
   fi
   echo "$(date -u +%FT%TZ) axon still down" >> /tmp/tpu_battery/status.log
-  sleep 900
+  sleep 300
 done
