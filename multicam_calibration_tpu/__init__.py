@@ -111,4 +111,6 @@ __all__ = list(_ops_all) + [
     "make_synthetic_rig",
 ]
 
-__version__ = "0.1.0"
+# Git-derived (versioneer parity, reference setup.py:1-26); falls back to
+# the release pin outside a checkout.
+from ._version import __version__  # noqa: E402

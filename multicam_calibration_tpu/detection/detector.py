@@ -1763,8 +1763,15 @@ def _coarse_retry_at(
         g / 255.0, max_candidates=max_candidates, nms_radius=nms_radius,
         sigma=sigma,
     )
+    # Candidate jitter scales with the response sigma (measured 2-4 px at
+    # sigma 6 on 24 px blur, vs the 16-20 px lattice pitch of a distant
+    # board) — the orderer's tolerances must scale with it or near-perfect
+    # candidate sets get rejected (measured 35/35 recall, 0 windows at the
+    # default 0.5). Safe: accepted windows still face refinement + the
+    # strict post-refine smoothness check + anchor margin downstream.
     grids, ok = _order_grids_device(
-        xy, score, rows, cols, min_candidate_sep=float(nms_radius + 1)
+        xy, score, rows, cols, position_jitter=0.5 * float(sigma),
+        min_candidate_sep=float(nms_radius + 1),
     )
     grids_r, scores4 = _refine_and_score_impl(
         g, grids.astype(g.dtype), template_size, win_size, 3.0
@@ -2376,11 +2383,18 @@ _N_WINDOW_HYPOTHESES = 6
 # — the window must be scale-matched too: win 5 sees mostly featureless
 # blur at 16 px (1.7 px refinement jitter -> the strict smoothness gate
 # rejects an otherwise perfect window), win 11 brings the gradient
-# structure back (0.4-0.7 px). With both rungs the rate matches the
-# reference's blur-robust cv2 quad detector across 12-24 px blur
-# (8/8, 7/8, 6/8 at 12/16/24 px) at sub-pixel accuracy; only frames the
+# structure back (0.4-0.7 px). The ordering tolerance also scales with
+# the rung (position_jitter = sigma/2 in _coarse_retry_at): at 24 px blur
+# the per-candidate jitter reaches 2-4 px against a 16-20 px pitch, and
+# rungs with the default 0.5 px tolerance rejected frames whose candidate
+# recall was 35/35 (r4 measurement). The sigma=9 rung exists for exactly
+# that regime: blur comparable to the cell pitch. Window 21 (not the
+# scale-extrapolated 25) at sigma 9: the larger window sees mostly
+# featureless blur and its refinement jitter fails the strict smoothness
+# gate (measured: w25 0/6 smooth, w21 3/6 accepted at margins 0.31-0.53
+# with correct orientation on the 24 px-blur hard set). Only frames the
 # previous rungs failed pay for the next.
-_COARSE_SCALES = ((3.5, 11), (6.0, 17))
+_COARSE_SCALES = ((3.5, 11), (6.0, 17), (9.0, 21))
 
 
 def _batch_finish(

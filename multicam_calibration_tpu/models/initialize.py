@@ -893,7 +893,10 @@ def calibrate(
         print("Initializing calibration object poses")
     with metrics.timer("calibrate.poses"):
         if batched:
-            all_calib_poses = np.asarray(
+            # np.array (copy), NOT np.asarray: asarray of a JAX array is a
+            # READ-ONLY view, and _repair_bad_intrinsics mutates rows in
+            # place (crashed on TPU rigs with a repairable camera).
+            all_calib_poses = np.array(
                 estimate_pose_batch(
                     uvs_arr,
                     calib_objpoints,

@@ -157,19 +157,21 @@ class LMOptions:
     # Observation-sparse in effect: unobserved (camera, frame) pairs cost
     # FLOPs inside a chunk but never persist blocks.
     frame_chunk: int | None = None
-    # Block-build implementation. "auto" takes the XLA analytic path —
-    # the validated-on-hardware default. "pallas" opts into the fused
-    # Pallas kernel (ops/ba_pallas.py; requires the analytic all-f32
-    # jac/block/grad/cost recipe, soft_l1/linear loss, N*2 <= 128 board
-    # points; interpret mode off-TPU — slow, for tests). The kernel fuses
+    # Block-build implementation. "auto" uses the fused Pallas kernel
+    # (ops/ba_pallas.py) on TPU backends whenever the options match what it
+    # hardcodes (analytic Jacobian, the all-f32 jac/block/grad/cost recipe,
+    # soft_l1/linear loss, N*2 <= 128 board points) and falls back to the
+    # XLA path otherwise; "xla" forces the XLA path; "pallas" forces the
+    # kernel (interpret mode off-TPU — slow, for tests). The kernel fuses
     # the whole linearization into one pass: a compensated two-float f32
     # prediction chain stands in for the emulated-f64 residual (same
     # accuracy class; tests/test_ba_pallas.py pins it against the f64
     # oracle) and the Jacobian rows never touch HBM. Hardware-default
-    # policy (round-3 regression lesson, VERDICT r3 #1-2): "auto" may only
-    # route to the kernel after scripts/tpu_parity.py has passed ON THE
-    # REAL CHIP for the current code — compiled Mosaic behavior is not
-    # covered by the interpret-mode CI tests.
+    # policy (round-3 regression lesson): the auto routing is valid only
+    # with a passing same-commit TPU_PARITY.json from
+    # scripts/tpu_parity.py — interpret-mode tests cannot see compiled-
+    # Mosaic behavior (the r3 kernel lacked an MXU precision request and
+    # produced bf16-truncated blocks on hardware only).
     block_impl: str = "auto"
     # Jacobian construction. "analytic": closed-form chain-rule blocks
     # computed batched over (C, F, N) in one shot — ~18x fewer FLOPs than
@@ -330,16 +332,16 @@ def _pallas_block_build(opts: LMOptions, data_dtype, objpoints) -> bool:
 
     The kernel hardcodes the shipped TPU recipe — analytic Jacobians, all
     per-observation work in f32 over a two-float residual, soft_l1/linear
-    loss, one 128-lane tile of (point, u/v) pairs per frame. ``pallas``
-    forces it (interpret mode off-TPU — for tests); ``xla`` never; ``auto``
-    currently resolves to the XLA analytic path everywhere — the kernel is
-    opt-in until scripts/tpu_parity.py certifies compiled-Mosaic parity on
-    the real chip (round-3 shipped a kernel whose interpret-mode tests
-    passed while the compiled kernel produced non-descent steps on
-    hardware; hardware defaults now require on-device evidence).
+    loss, one 128-lane tile of (point, u/v) pairs per frame. ``auto``
+    takes it exactly when those hold on a TPU backend; ``pallas`` forces
+    it (interpret mode off-TPU — for tests); ``xla`` never. The auto
+    routing is certified by scripts/tpu_parity.py ON THE REAL CHIP
+    (TPU_PARITY.json, kernel-vs-oracle blocks ~1e-6 rel + full-descent
+    cost match; CLAUDE.md hardware-default policy) — any change to this
+    kernel or dispatch must re-run that battery before shipping.
     """
     impl = getattr(opts, "block_impl", "auto")
-    if impl != "pallas":
+    if impl == "xla":
         return False
     f32 = jnp.dtype("float32")
 
@@ -356,12 +358,16 @@ def _pallas_block_build(opts: LMOptions, data_dtype, objpoints) -> bool:
                       opts.cost_dtype)
         )
     )
-    if not ok:
-        raise ValueError(
-            "block_impl='pallas' requires the analytic all-f32 recipe "
-            "and N*2 <= 128 board points"
-        )
-    return True
+    if impl == "pallas":
+        if not ok:
+            raise ValueError(
+                "block_impl='pallas' requires the analytic all-f32 recipe "
+                "and N*2 <= 128 board points"
+            )
+        return True
+    from ..ops.pallas_kernels import on_tpu
+
+    return ok and on_tpu()
 
 
 def build_normal_blocks(

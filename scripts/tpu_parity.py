@@ -82,13 +82,18 @@ def check_block_parity(cam, poses, obs, mask, objp, results, interpret=False):
     from multicam_calibration_tpu.ops.ba_pallas import (
         ba_chunk_blocks, ba_prepare_obs,
     )
+    from multicam_calibration_tpu.ops.precision import with_highest_precision
 
     opts = LMOptions(
         jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
         cost_dtype="float32",
     )
 
+    # with_highest_precision is load-bearing for the ORACLE on TPU: outside
+    # lm_solve's context its f32 einsums lower to single-pass bf16 MXU
+    # matmuls (~0.5% error) and the oracle — not the kernel — diverges.
     @jax.jit
+    @with_highest_precision
     def oracle(cam, poses, obs, mask, objp):
         return _linearize_analytic(cam, poses, obs, mask, objp, opts)
 

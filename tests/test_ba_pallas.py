@@ -138,19 +138,30 @@ class TestTwoFloatResidual:
             rtol=3e-5,
         )
 
-    def test_auto_dispatch_is_xla(self, problem):
-        """Hardware-default policy: 'auto' must NOT route to the Pallas
-        kernel until on-chip parity is certified (VERDICT r3 #1-2)."""
+    def test_auto_dispatch_policy(self, problem):
+        """'auto' routes to the kernel only on TPU backends with the
+        certified recipe — never off-TPU (this CPU mesh), and never for
+        recipes the kernel does not implement."""
         from multicam_calibration_tpu.models.lm_core import (
             _pallas_block_build,
         )
 
         _, _, _, _, objp = problem
-        opts = LMOptions(
+        recipe = dict(
             jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
             cost_dtype="float32",
         )
-        assert not _pallas_block_build(opts, jnp.float64, objp)
+        # Off-TPU (the CPU test backend): auto must take the XLA path.
+        assert not _pallas_block_build(
+            LMOptions(**recipe), jnp.float64, objp
+        )
+        # Non-kernel recipe (f64 blocks) is never eligible, and forcing
+        # the kernel on it must raise rather than silently run.
+        assert not _pallas_block_build(LMOptions(), jnp.float64, objp)
+        with pytest.raises(ValueError):
+            _pallas_block_build(
+                LMOptions(block_impl="pallas"), jnp.float64, objp
+            )
 
     def test_lm_solve_converges_through_kernel(self, problem):
         """Full Schur-LM through the fused kernel (forced, interpret mode)

@@ -220,6 +220,43 @@ class TestCalibrate:
         seen = (~np.isnan(rig.all_calib_uvs).any((-1, -2))).any(0)
         assert np.all(~np.isnan(poses[seen]))
 
+    def test_batched_init_repair_writes_poses(self, monkeypatch):
+        """Regression (r4): the accelerator-batched calibrate path produced
+        all_calib_poses as np.asarray(jax_array) — a READ-ONLY view — and
+        _repair_bad_intrinsics' in-place row write crashed whenever a
+        camera needed repair on TPU. Force the batched path on CPU with a
+        corrupted camera and require calibrate to complete AND repair."""
+        from multicam_calibration_tpu.models import initialize as init_mod
+
+        rig4 = mct.make_synthetic_rig(
+            n_cameras=4, n_frames=60, noise_px=0.2, dropout=0.1, seed=5
+        )
+        real_batch = init_mod.get_intrinsics_batch
+
+        def corrupted_batch(*a, **k):
+            # Corrupt a LEAF camera (3): fx off 35% makes it rig-
+            # inconsistent while the peer median stays clean (corrupting
+            # the spanning-tree root instead contaminates the consensus
+            # poses of every camera and the 3x-median trigger cannot fire
+            # — a known limitation of the repair heuristic).
+            intr = list(real_batch(*a, **k))
+            K, d = intr[3]
+            K = np.array(K)
+            K[0, 0] *= 1.35
+            intr[3] = (K, np.array(d))
+            return intr
+
+        monkeypatch.setattr(init_mod, "get_intrinsics_batch", corrupted_batch)
+        monkeypatch.setattr(init_mod.jax, "default_backend", lambda: "tpu")
+        ext, intr, poses, tree = init_mod.calibrate(
+            rig4.all_calib_uvs, rig4.img_sizes, rig4.calib_objpoints,
+            verbose=False, n_samples_for_intrinsics=30,
+        )
+        # The repair pass must have replaced the corrupted fx.
+        assert abs(intr[3][0][0, 0] - rig4.all_intrinsics[3][0][0, 0]) < (
+            0.05 * rig4.all_intrinsics[3][0][0, 0]
+        )
+
 
 class TestBundleAdjust:
     @pytest.fixture(scope="class")
