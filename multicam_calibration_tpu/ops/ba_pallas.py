@@ -186,8 +186,19 @@ def _ba_kernel(
             q_h.append(qh_i)
             q_l.append(ql_i)
 
+        # Masked lanes (zero-weight observations, frame padding, lane
+        # padding) take the benign z=1 branch. This is CORRECTNESS, not
+        # hygiene: padded frames carry zero poses, so board points sit in
+        # the z=0 plane and a camera with near-zero extrinsics (the gauge
+        # root after any small step/perturbation) sees |z| ~ 1e-5..1e-3 —
+        # small enough that the 1/z Jacobian chain overflows f32 and the
+        # masked contraction computes inf * 0 = NaN, poisoning U and
+        # rejecting every LM step (the round-4 bench.py failure mode; the
+        # exact-zero case was already caught by the 1e-12 guard, which is
+        # why descents from the UNperturbed x0 worked).
+        m = msk_ref[k]
         z_h, z_l = q_h[2], q_l[2]
-        bad_z = jnp.abs(z_h) < jnp.float32(1e-12)
+        bad_z = (jnp.abs(z_h) < jnp.float32(1e-12)) | (m == zero32)
         z_h = jnp.where(bad_z, one32, z_h)
         z_l = jnp.where(bad_z, zero32, z_l)
         iz_h, iz_l = _dd_div(
@@ -220,7 +231,6 @@ def _ba_kernel(
         # residual r = obs - pred, masked; hi absorbs the compensated parts
         o_h = obs_h_ref[k]
         o_l = obs_l_ref[k]
-        m = msk_ref[k]
         r_h, r_l = _dd_add(o_h, o_l, -p_h, -p_l)
         r = (r_h + r_l) * m
 

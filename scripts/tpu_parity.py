@@ -150,9 +150,18 @@ def check_block_parity(cam, poses, obs, mask, objp, results, interpret=False):
 
 
 def check_descent(cam, poses, obs, mask, objp, results, impl):
-    """Full LM through `impl` must descend and (for pallas) match XLA."""
+    """Full LM through `impl` must descend and (for pallas) match XLA.
+
+    The start point carries bench.py's timed-run perturbation (+3e-5 on
+    every camera param): it knocks the gauge-root camera off exact
+    identity, the configuration whose padded-frame z values broke the
+    round-4 kernel while every exact-identity descent passed.
+    """
+    import jax.numpy as jnp
+
     from multicam_calibration_tpu.models.lm_core import LMOptions, lm_solve
 
+    cam = cam + jnp.asarray(3e-5, cam.dtype)
     opts = LMOptions(
         jac_dtype="float32", block_dtype="float32", cost_dtype="float32",
         solve_dtype="float32", grad_dtype="float32",
@@ -181,7 +190,10 @@ def check_descent(cam, poses, obs, mask, objp, results, impl):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=256,
+    # NOT a multiple of the kernel's 64-frame tile, deliberately: frame
+    # padding is part of the contract under test (the round-4 bench
+    # failure was padded-frame NaNs that a padding-free slice cannot see).
+    ap.add_argument("--frames", type=int, default=250,
                     help="frames for the block-parity slice")
     ap.add_argument("--descent-frames", type=int, default=922)
     ap.add_argument("--skip-descent", action="store_true")

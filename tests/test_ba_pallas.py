@@ -244,3 +244,65 @@ class TestTwoFloatResidual:
         assert float(jnp.abs(cost[:, -2:]).max()) == 0.0
         for x in (U, V, W, g_cam, g_pose, cost):
             assert np.isfinite(np.asarray(x)).all()
+
+    def test_padded_frames_near_identity_camera(self):
+        """Regression (round-4 bench failure): frame padding + a camera
+        with TINY but nonzero extrinsics must not poison the blocks.
+
+        ba_chunk_blocks zero-pads the frame axis to the tile size; padded
+        frames carry zero poses, so the board points sit in the z = 0
+        plane. A camera at exactly identity hits the exact-zero z guard,
+        but after any small step or perturbation (bench.py times from
+        cam0 + 1e-5 * k; the gauge root starts at identity) the padded
+        frames see |z| ~ 1e-5..1e-3 and the f32 1/z Jacobian chain
+        overflows — inf * 0 = NaN through the masked U contraction, NaN
+        normal equations, and every LM step rejected (BENCH_r04 first
+        attempt). The fix routes ALL masked lanes through the benign
+        z = 1 branch; this test pins it at a non-divisible frame count
+        with the bench-style perturbation, against the XLA oracle.
+        """
+        rig = mct.make_synthetic_rig(
+            n_cameras=2, n_frames=70, noise_px=0.3, dropout=0.3, seed=9
+        )
+        # Camera 0 = gauge root at identity in this rig construction;
+        # the +3e-5 shift reproduces bench.py's timed-run perturbation.
+        cam = jnp.asarray(
+            _params_to_arrays(rig.all_extrinsics, rig.all_intrinsics),
+            jnp.float64,
+        ) + 3e-5
+        poses = jnp.asarray(np.nan_to_num(rig.calib_poses), jnp.float64)
+        obs_np = rig.all_calib_uvs
+        mask = jnp.asarray(~np.isnan(obs_np).any(-1))
+        obs = jnp.asarray(np.nan_to_num(obs_np), jnp.float64)
+        objp = jnp.asarray(rig.calib_objpoints, jnp.float64)
+
+        obs_hi, obs_lo, msk = ba_prepare_obs(obs, mask)
+        # 70 % 64 != 0 -> 58 zero-pose padded frames, the trigger.
+        U, V, W, g_cam, g_pose, cost = ba_chunk_blocks(
+            cam, poses, obs_hi, obs_lo, msk, objp, tile_f=64, interpret=True
+        )
+        for name, x in (
+            ("U", U), ("V", V), ("W", W), ("g_cam", g_cam),
+            ("g_pose", g_pose), ("cost", cost),
+        ):
+            assert np.isfinite(np.asarray(x)).all(), f"{name} non-finite"
+
+        opts = LMOptions(
+            jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
+            cost_dtype="float32",
+        )
+        U0, V0, W0, g_cam0, g_pose0, cost0 = _linearize_analytic(
+            cam, poses, obs, mask, objp, opts
+        )
+        np.testing.assert_allclose(
+            np.asarray(U, np.float64), np.asarray(U0),
+            atol=2e-5 * float(jnp.abs(U0).max()),
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_cam, np.float64).sum(1), np.asarray(g_cam0),
+            atol=3e-5 * max(1.0, float(jnp.abs(g_cam0).max())),
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(cost, np.float64).sum()), float(cost0),
+            rtol=3e-5,
+        )
