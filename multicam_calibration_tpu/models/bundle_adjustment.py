@@ -517,6 +517,9 @@ def bundle_adjust(
             "lambda_escalation", default_f32.get("lambda_escalation", 1.0)
         ),
         frame_chunk=opt_kwargs.get("frame_chunk", None),
+        cost_impl=opt_kwargs.get(
+            "cost_impl", default_f32.get("cost_impl", "xla")
+        ),
     )
 
     def _solve(cam_in, poses_in, chunk_opts, init_lam=None, init_grad0=None):

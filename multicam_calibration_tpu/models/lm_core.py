@@ -173,6 +173,18 @@ class LMOptions:
     # Mosaic behavior (the r3 kernel lacked an MXU precision request and
     # produced bf16-truncated blocks on hardware only).
     block_impl: str = "auto"
+    # Per-try cost-evaluation implementation. "pallas" runs the fused
+    # cost kernel (ops/ba_pallas.ba_chunk_cost): the SAME two-float f32
+    # prediction chain as the block-build kernel, emitting only per-(c,f)
+    # cost fragments — f64-grade residual accuracy, strictly tighter than
+    # the cost_dtype="float32" XLA path it replaces, with no emulated-f64
+    # or Jacobian HBM traffic. Requires the kernel preconditions
+    # (soft_l1/linear loss, N*2 <= 128, cost_dtype="float32"). "auto"
+    # selects it on TPU exactly when those hold; "xla" never. Hardware-
+    # default policy applies (CLAUDE.md): "auto" may only route here with
+    # a passing same-commit TPU_PARITY.json — scripts/tpu_parity.py
+    # covers the cost kernel alongside the block kernel.
+    cost_impl: str = "xla"
     # Jacobian construction. "analytic": closed-form chain-rule blocks
     # computed batched over (C, F, N) in one shot — ~18x fewer FLOPs than
     # the 18-tangent jacfwd (each tangent re-runs ~the primal) and the
@@ -271,6 +283,36 @@ def _robust_cost(r2_masked, opts: LMOptions, axis=None):
     return 0.5 * fs2 * jnp.sum(2.0 * (jnp.sqrt(1.0 + z) - 1.0), axis=axis)
 
 
+def _pallas_cost_eval(opts: LMOptions, data_dtype, objpoints) -> bool:
+    """Dispatch: route compute_cost through the fused cost kernel?
+
+    Mirrors ``_pallas_block_build``: "xla" never, "pallas" forces (and
+    validates the preconditions), "auto" takes it on TPU when the shipped
+    recipe holds. The kernel's two-float chain is strictly MORE accurate
+    than the cost_dtype="float32" XLA projection it replaces, so the
+    precondition is on the f32-cost recipe, not on f64 parity.
+    """
+    impl = getattr(opts, "cost_impl", "xla")
+    if impl == "xla":
+        return False
+    ok = (
+        opts.loss in ("soft_l1", "linear")
+        and objpoints.shape[0] * 2 <= 128
+        and opts.cost_dtype is not None
+        and jnp.dtype(opts.cost_dtype) == jnp.dtype("float32")
+    )
+    if impl == "pallas":
+        if not ok:
+            raise ValueError(
+                "cost_impl='pallas' requires soft_l1/linear loss, "
+                "N*2 <= 128 board points, and cost_dtype='float32'"
+            )
+        return True
+    from ..ops.pallas_kernels import on_tpu
+
+    return ok and on_tpu()
+
+
 @with_highest_precision
 def compute_cost(cam_params, pose_params, obs, mask, objpoints, opts, axis_name=None):
     """Robust cost over (optionally frame-sharded) observations.
@@ -280,8 +322,26 @@ def compute_cost(cam_params, pose_params, obs, mask, objpoints, opts, axis_name=
     Carries its own fp32-matmul-precision context: a caller jitting this
     standalone (outside lm_solve's context) must not silently get bf16
     MXU projections — that inflates the f32-projected cost ~12x.
+
+    With ``opts.cost_impl`` routing to the fused Pallas kernel, the
+    projection runs the block-build kernel's compensated two-float chain
+    instead (f64-grade residual; per-(c,f) f32 fragments reduced here in
+    the data dtype — the same contract as the XLA fragments).
     """
     dtype = cam_params.dtype
+    if _pallas_cost_eval(opts, dtype, objpoints):
+        from ..ops.ba_pallas import ba_chunk_cost, ba_prepare_obs
+
+        # Loop-invariant under lm_solve's while loop; XLA hoists it.
+        obs_hi, obs_lo, msk = ba_prepare_obs(obs, mask)
+        frags = ba_chunk_cost(
+            cam_params, pose_params, obs_hi, obs_lo, msk, objpoints,
+            f_scale=opts.f_scale, loss_linear=(opts.loss == "linear"),
+        )
+        cost = frags.astype(dtype).sum()
+        if axis_name is not None:
+            cost = lax.psum(cost, axis_name)
+        return cost
     cd = jnp.dtype(opts.cost_dtype) if opts.cost_dtype else None
     if cd is not None and cd != dtype:
         r = compute_residuals(

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_kernels import on_tpu
 
-__all__ = ["ba_chunk_blocks", "ba_prepare_obs", "LANES"]
+__all__ = ["ba_chunk_blocks", "ba_chunk_cost", "ba_prepare_obs", "LANES"]
 
 LANES = 128  # one VPU lane tile; N*2 <= LANES observations per frame
 
@@ -106,6 +106,128 @@ def _dd_scale(xh, xl, c):
 # ---------------------------------------------------------------------------
 
 
+def _lane_masks(n2, Tf):
+    """(is_u, is_v) f32 lane-parity masks: even lane = u of point
+    lane//2, odd = v; lanes >= n2 are padding (zero in both). Explicit
+    int32 bitwise/compare ops and pinned-f32 where-scalars: a bare `% 2`
+    or python-float scalar drags int64/f64 constants through Mosaic
+    under x64, which it cannot lay out."""
+    one32 = jnp.float32(1.0)
+    zero32 = jnp.float32(0.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Tf, LANES), 1)
+    live = lane < jnp.int32(n2)
+    even = jnp.bitwise_and(lane, jnp.int32(1)) == jnp.int32(0)
+    is_u = jnp.where(live & even, one32, zero32)
+    is_v = jnp.where(live & ~even, one32, zero32)
+    return is_u, is_v
+
+
+def _chain_residual(
+    c, cam_ref, rc_ref, pw_h, pw_l, is_u, is_v, m, o_h, o_l,
+):
+    """Two-float prediction chain + masked residual for camera row ``c``.
+
+    Shared by the block-build kernel (which also consumes the chain's hi
+    parts for the analytic Jacobian rows) and the cost-only kernel.
+    Returns ``(r, chain)`` with ``chain`` a dict of the per-lane hi
+    values and camera scalars the Jacobian section needs.
+    """
+    one32 = jnp.float32(1.0)
+    zero32 = jnp.float32(0.0)
+
+    def cam_dd(i):  # hi/lo scalar pair from the SMEM camera pack
+        return cam_ref[c, 2 * i], cam_ref[c, 2 * i + 1]
+
+    fx_h, fx_l = cam_dd(0)
+    fy_h, fy_l = cam_dd(1)
+    cx_h, cx_l = cam_dd(2)
+    cy_h, cy_l = cam_dd(3)
+    k1_h, k1_l = cam_dd(4)
+    k2_h, k2_l = cam_dd(5)
+    t_h = [cam_ref[c, 12 + 2 * i] for i in range(3)]
+    t_l = [cam_ref[c, 13 + 2 * i] for i in range(3)]
+    rc_h = [rc_ref[c, i] for i in range(9)]
+    rc_l = [rc_ref[c, 9 + i] for i in range(9)]
+
+    # --- two-float prediction chain ------------------------------------
+    q_h, q_l = [], []
+    for i in range(3):
+        ah, al = _dd_scale(pw_h[0], pw_l[0], rc_h[3 * i + 0])
+        # rc lo corrections enter once per product: rc = (h + l), so
+        # rc*pw = h*pw (dd) + l*pw_h (f32-level term).
+        al = al + rc_l[3 * i + 0] * pw_h[0]
+        for j in (1, 2):
+            bh, bl = _dd_scale(pw_h[j], pw_l[j], rc_h[3 * i + j])
+            bl = bl + rc_l[3 * i + j] * pw_h[j]
+            ah, al = _dd_add(ah, al, bh, bl)
+        qh_i, ql_i = _dd_add(ah, al, t_h[i], t_l[i])
+        q_h.append(qh_i)
+        q_l.append(ql_i)
+
+    # Masked lanes (zero-weight observations, frame padding, lane
+    # padding) take the benign z=1 branch. This is CORRECTNESS, not
+    # hygiene: padded frames carry zero poses, so board points sit in
+    # the z=0 plane and a camera with near-zero extrinsics (the gauge
+    # root after any small step/perturbation) sees |z| ~ 1e-5..1e-3 —
+    # small enough that the 1/z Jacobian chain overflows f32 and the
+    # masked contraction computes inf * 0 = NaN, poisoning U and
+    # rejecting every LM step (the round-4 bench.py failure mode; the
+    # exact-zero case was already caught by the 1e-12 guard, which is
+    # why descents from the UNperturbed x0 worked).
+    z_h, z_l = q_h[2], q_l[2]
+    bad_z = (jnp.abs(z_h) < jnp.float32(1e-12)) | (m == zero32)
+    z_h = jnp.where(bad_z, one32, z_h)
+    z_l = jnp.where(bad_z, zero32, z_l)
+    iz_h, iz_l = _dd_div(
+        jnp.ones_like(z_h), jnp.zeros_like(z_h), z_h, z_l
+    )
+    x_h, x_l = _dd_mul(q_h[0], q_l[0], iz_h, iz_l)
+    y_h, y_l = _dd_mul(q_h[1], q_l[1], iz_h, iz_l)
+    xx_h, xx_l = _dd_mul(x_h, x_l, x_h, x_l)
+    yy_h, yy_l = _dd_mul(y_h, y_l, y_h, y_l)
+    r2_h, r2_l = _dd_add(xx_h, xx_l, yy_h, yy_l)
+    # s = 1 + r2*(k1 + r2*k2)
+    a_h, a_l = _dd_mul(r2_h, r2_l, k2_h * jnp.ones_like(r2_h),
+                       k2_l * jnp.ones_like(r2_h))
+    a_h, a_l = _dd_add(a_h, a_l, k1_h * jnp.ones_like(r2_h),
+                       k1_l * jnp.ones_like(r2_h))
+    a_h, a_l = _dd_mul(a_h, a_l, r2_h, r2_l)
+    s_h, s_l = _dd_add(a_h, a_l, jnp.ones_like(a_h),
+                       jnp.zeros_like(a_h))
+    xd_h, xd_l = _dd_mul(x_h, x_l, s_h, s_l)
+    yd_h, yd_l = _dd_mul(y_h, y_l, s_h, s_l)
+    # pred = f_sel * d_sel + c_sel  (lane-selected u/v)
+    d_h = is_u * xd_h + is_v * yd_h
+    d_l = is_u * xd_l + is_v * yd_l
+    f_h = is_u * fx_h + is_v * fy_h
+    f_l = is_u * fx_l + is_v * fy_l
+    c_h = is_u * cx_h + is_v * cy_h
+    c_l = is_u * cx_l + is_v * cy_l
+    p_h, p_l = _dd_mul(d_h, d_l, f_h, f_l)
+    p_h, p_l = _dd_add(p_h, p_l, c_h, c_l)
+    # residual r = obs - pred, masked; hi absorbs the compensated parts
+    r_h, r_l = _dd_add(o_h, o_l, -p_h, -p_l)
+    r = (r_h + r_l) * m
+    chain = dict(
+        x_h=x_h, y_h=y_h, r2_h=r2_h, s_h=s_h, iz_h=iz_h,
+        xd_h=xd_h, yd_h=yd_h, f_h=f_h, q_h=q_h, t_h=t_h,
+        k1_h=k1_h, k2_h=k2_h, rc_h=rc_h,
+    )
+    return r, chain
+
+
+def _robust_rho_w(r, m, f_scale, loss_linear):
+    """Per-lane robust cost fragment and IRLS weight (f32)."""
+    if loss_linear:
+        w = m
+        rho = 0.5 * (r * r)  # _robust_cost's 0.5*sum(r2) contract
+    else:
+        z = (r * r) * (1.0 / (f_scale * f_scale))
+        w = m * jax.lax.rsqrt(jnp.sqrt(1.0 + z))
+        rho = (f_scale * f_scale) * (jnp.sqrt(1.0 + z) - 1.0)
+    return rho, w
+
+
 def _ba_kernel(
     n2, f_scale, loss_linear, Tc,
     cam_ref, rc_ref, jlc_ref, posef_ref, pw_ref, obs_h_ref, obs_l_ref,
@@ -134,19 +256,7 @@ def _ba_kernel(
     """
     cj = pl.program_id(1)
     Tf = pw_ref.shape[0]
-
-    # Lane parity: even lane = u component, odd = v (of point n = lane//2);
-    # lanes >= n2 are padding (zero in both masks). Explicit int32
-    # bitwise/compare ops and pinned-f32 where-scalars throughout: a bare
-    # `% 2` or python-float scalar drags int64/f64 constants through
-    # Mosaic under x64, which it cannot lay out.
-    one32 = jnp.float32(1.0)
-    zero32 = jnp.float32(0.0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Tf, LANES), 1)
-    live = lane < jnp.int32(n2)
-    even = jnp.bitwise_and(lane, jnp.int32(1)) == jnp.int32(0)
-    is_u = jnp.where(live & even, one32, zero32)
-    is_v = jnp.where(live & ~even, one32, zero32)
+    is_u, is_v = _lane_masks(n2, Tf)
 
     pw_h = [pw_ref[:, i, :] for i in range(3)]  # (Tf, LANES) each
     pw_l = [pw_ref[:, 3 + i, :] for i in range(3)]
@@ -156,105 +266,32 @@ def _ba_kernel(
 
     def cam_body(k, V_acc):
         c = cj * Tc + k
-
-        def cam_dd(i):  # hi/lo scalar pair from the SMEM camera pack
-            return cam_ref[c, 2 * i], cam_ref[c, 2 * i + 1]
-
-        fx_h, fx_l = cam_dd(0)
-        fy_h, fy_l = cam_dd(1)
-        cx_h, cx_l = cam_dd(2)
-        cy_h, cy_l = cam_dd(3)
-        k1_h, k1_l = cam_dd(4)
-        k2_h, k2_l = cam_dd(5)
-        t_h = [cam_ref[c, 12 + 2 * i] for i in range(3)]
-        t_l = [cam_ref[c, 13 + 2 * i] for i in range(3)]
-        rc_h = [rc_ref[c, i] for i in range(9)]
-        rc_l = [rc_ref[c, 9 + i] for i in range(9)]
-
-        # --- two-float prediction chain -----------------------------------
-        q_h, q_l = [], []
-        for i in range(3):
-            ah, al = _dd_scale(pw_h[0], pw_l[0], rc_h[3 * i + 0])
-            # rc lo corrections enter once per product: rc = (h + l), so
-            # rc*pw = h*pw (dd) + l*pw_h (f32-level term).
-            al = al + rc_l[3 * i + 0] * pw_h[0]
-            for j in (1, 2):
-                bh, bl = _dd_scale(pw_h[j], pw_l[j], rc_h[3 * i + j])
-                bl = bl + rc_l[3 * i + j] * pw_h[j]
-                ah, al = _dd_add(ah, al, bh, bl)
-            qh_i, ql_i = _dd_add(ah, al, t_h[i], t_l[i])
-            q_h.append(qh_i)
-            q_l.append(ql_i)
-
-        # Masked lanes (zero-weight observations, frame padding, lane
-        # padding) take the benign z=1 branch. This is CORRECTNESS, not
-        # hygiene: padded frames carry zero poses, so board points sit in
-        # the z=0 plane and a camera with near-zero extrinsics (the gauge
-        # root after any small step/perturbation) sees |z| ~ 1e-5..1e-3 —
-        # small enough that the 1/z Jacobian chain overflows f32 and the
-        # masked contraction computes inf * 0 = NaN, poisoning U and
-        # rejecting every LM step (the round-4 bench.py failure mode; the
-        # exact-zero case was already caught by the 1e-12 guard, which is
-        # why descents from the UNperturbed x0 worked).
         m = msk_ref[k]
-        z_h, z_l = q_h[2], q_l[2]
-        bad_z = (jnp.abs(z_h) < jnp.float32(1e-12)) | (m == zero32)
-        z_h = jnp.where(bad_z, one32, z_h)
-        z_l = jnp.where(bad_z, zero32, z_l)
-        iz_h, iz_l = _dd_div(
-            jnp.ones_like(z_h), jnp.zeros_like(z_h), z_h, z_l
+        r, ch = _chain_residual(
+            c, cam_ref, rc_ref, pw_h, pw_l, is_u, is_v, m,
+            obs_h_ref[k], obs_l_ref[k],
         )
-        x_h, x_l = _dd_mul(q_h[0], q_l[0], iz_h, iz_l)
-        y_h, y_l = _dd_mul(q_h[1], q_l[1], iz_h, iz_l)
-        xx_h, xx_l = _dd_mul(x_h, x_l, x_h, x_l)
-        yy_h, yy_l = _dd_mul(y_h, y_l, y_h, y_l)
-        r2_h, r2_l = _dd_add(xx_h, xx_l, yy_h, yy_l)
-        # s = 1 + r2*(k1 + r2*k2)
-        a_h, a_l = _dd_mul(r2_h, r2_l, k2_h * jnp.ones_like(r2_h),
-                           k2_l * jnp.ones_like(r2_h))
-        a_h, a_l = _dd_add(a_h, a_l, k1_h * jnp.ones_like(r2_h),
-                           k1_l * jnp.ones_like(r2_h))
-        a_h, a_l = _dd_mul(a_h, a_l, r2_h, r2_l)
-        s_h, s_l = _dd_add(a_h, a_l, jnp.ones_like(a_h),
-                           jnp.zeros_like(a_h))
-        xd_h, xd_l = _dd_mul(x_h, x_l, s_h, s_l)
-        yd_h, yd_l = _dd_mul(y_h, y_l, s_h, s_l)
-        # pred = f_sel * d_sel + c_sel  (lane-selected u/v)
-        d_h = is_u * xd_h + is_v * yd_h
-        d_l = is_u * xd_l + is_v * yd_l
-        f_h = is_u * fx_h + is_v * fy_h
-        f_l = is_u * fx_l + is_v * fy_l
-        c_h = is_u * cx_h + is_v * cy_h
-        c_l = is_u * cx_l + is_v * cy_l
-        p_h, p_l = _dd_mul(d_h, d_l, f_h, f_l)
-        p_h, p_l = _dd_add(p_h, p_l, c_h, c_l)
-        # residual r = obs - pred, masked; hi absorbs the compensated parts
-        o_h = obs_h_ref[k]
-        o_l = obs_l_ref[k]
-        r_h, r_l = _dd_add(o_h, o_l, -p_h, -p_l)
-        r = (r_h + r_l) * m
+        q_h = ch["q_h"]
+        t_h = ch["t_h"]
+        k1_h, k2_h = ch["k1_h"], ch["k2_h"]
+        rc_h = ch["rc_h"]
+        xd_h, yd_h = ch["xd_h"], ch["yd_h"]
 
         # --- robust weights + cost (f32: smooth functions of accurate r) --
-        if loss_linear:
-            w = m
-            rho = 0.5 * (r * r)  # _robust_cost's 0.5*sum(r2) contract
-        else:
-            z = (r * r) * (1.0 / (f_scale * f_scale))
-            w = m * jax.lax.rsqrt(jnp.sqrt(1.0 + z))
-            rho = (f_scale * f_scale) * (jnp.sqrt(1.0 + z) - 1.0)
+        rho, w = _robust_rho_w(r, m, f_scale, loss_linear)
         cost_ref[k] = jnp.sum(rho * m, axis=1, keepdims=True)
 
         # --- f32 Jacobian rows (per-lane), from the chain's hi parts ------
-        x = x_h
-        y = y_h
-        r2 = r2_h
-        s = s_h
-        iz = iz_h
+        x = ch["x_h"]
+        y = ch["y_h"]
+        r2 = ch["r2_h"]
+        s = ch["s_h"]
+        iz = ch["iz_h"]
         sp = k1_h + 2.0 * k2_h * r2
         d11 = s + 2.0 * x * x * sp
         d12 = 2.0 * x * y * sp
         d22 = s + 2.0 * y * y * sp
-        fsel = f_h
+        fsel = ch["f_h"]
         m0 = fsel * iz * (is_u * d11 + is_v * d12)
         m1 = fsel * iz * (is_u * d12 + is_v * d22)
         m2 = -(m0 * x + m1 * y)
@@ -548,3 +585,159 @@ def ba_chunk_blocks(
     V = V_f.reshape(Fk, 6, 6)[:F0]
     W = W_f.reshape(C, Fk, 12, 6)[:, :F0]
     return U, V, W, gcam[:, :F0], gpose[:, :F0], cost[:, :F0]
+
+
+# ---------------------------------------------------------------------------
+# Cost-only kernel: the per-damping-try robust cost evaluation. Reuses the
+# block-build kernel's two-float prediction chain (same accuracy contract
+# as the f64 residual) but emits ONLY per-(c, f) cost fragments — the LM
+# damping loop evaluates cost at 1-3 trial points per iteration, so after
+# the fused block build this is the next-largest per-iteration term.
+# ---------------------------------------------------------------------------
+
+
+def _cost_kernel(
+    n2, f_scale, loss_linear, Tc,
+    cam_ref, rc_ref, pw_ref, obs_h_ref, obs_l_ref, msk_ref,
+    cost_ref,
+):
+    """One (Tc-camera x Tf-frame) tile of the fused cost evaluation."""
+    cj = pl.program_id(1)
+    Tf = pw_ref.shape[0]
+    is_u, is_v = _lane_masks(n2, Tf)
+    pw_h = [pw_ref[:, i, :] for i in range(3)]
+    pw_l = [pw_ref[:, 3 + i, :] for i in range(3)]
+
+    def cam_body(k, carry):
+        c = cj * Tc + k
+        m = msk_ref[k]
+        r, _ = _chain_residual(
+            c, cam_ref, rc_ref, pw_h, pw_l, is_u, is_v, m,
+            obs_h_ref[k], obs_l_ref[k],
+        )
+        rho, _ = _robust_rho_w(r, m, f_scale, loss_linear)
+        cost_ref[k] = jnp.sum(rho * m, axis=1, keepdims=True)
+        return carry
+
+    jax.lax.fori_loop(0, Tc, cam_body, jnp.int32(0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_points", "f_scale", "loss_linear", "tile_f",
+                     "tile_c", "interpret"),
+)
+def _ba_chunk_cost(
+    cam_pack, rc_pack, pw_pack, obs_hi, obs_lo, msk,
+    n_points, f_scale=1.0, loss_linear=False, tile_f=128, tile_c=8,
+    interpret=False,
+):
+    C = cam_pack.shape[0]
+    Fk = pw_pack.shape[0]
+    Tf = min(tile_f, Fk)
+    if Fk % Tf:
+        raise ValueError(f"frame chunk {Fk} not divisible by tile {Tf}")
+    nF = Fk // Tf
+    Tc = next(t for t in (tile_c, 4, 2, 1) if C % t == 0)
+    nC = C // Tc
+
+    grid = (nF, nC)
+    kernel = functools.partial(
+        _cost_kernel, n_points * 2, float(f_scale), bool(loss_linear), Tc
+    )
+    # x64 OFF around the pallas_call (see _ba_chunk_blocks).
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((Tf, 6, LANES), lambda fi, cj: (fi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tc, Tf, LANES), lambda fi, cj: (cj, fi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tc, Tf, LANES), lambda fi, cj: (cj, fi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Tc, Tf, LANES), lambda fi, cj: (cj, fi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (Tc, Tf, 1), lambda fi, cj: (cj, fi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((C, Fk, 1), jnp.float32),
+            interpret=interpret,
+        )(cam_pack, rc_pack, pw_pack, obs_hi, obs_lo, msk)
+    return out[..., 0]
+
+
+def ba_chunk_cost(
+    cam_params, pose_k, obs_hi, obs_lo, msk, objpoints,
+    f_scale=1.0, loss_linear=False, tile_f=64, interpret=None,
+):
+    """Fused robust-cost evaluation for one frame chunk.
+
+    Same inputs as :func:`ba_chunk_blocks`; returns per-(c, f) f32 cost
+    fragments (C, Fk) — the caller reduces in the data dtype (the
+    cost-reduction contract `compute_cost` uses). The residual runs the
+    SAME two-float chain as the block build, i.e. f64-grade accuracy —
+    strictly tighter than the XLA `cost_dtype="float32"` path it can
+    replace (which projects in plain f32).
+
+    Replaces the residual evaluations scipy's TRF performs per trial step
+    (reference bundle_adjustment.py:66-98, :301-313).
+    """
+    import sys
+
+    from .rotation import so3_exp
+
+    if sys.getrecursionlimit() < 20000:
+        sys.setrecursionlimit(20000)
+    if interpret is None:
+        interpret = not on_tpu()
+    C = cam_params.shape[0]
+    Fk = pose_k.shape[0]
+    N = objpoints.shape[0]
+    f64 = cam_params.dtype == jnp.float64
+
+    F0 = Fk
+    Tf = min(tile_f, Fk) if Fk % min(tile_f, Fk) == 0 else tile_f
+    pad = (-Fk) % Tf
+    if pad:
+        pose_k = jnp.pad(pose_k, ((0, pad), (0, 0)))
+        obs_hi, obs_lo, msk = (
+            jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            for x in (obs_hi, obs_lo, msk)
+        )
+        Fk = Fk + pad
+
+    def hilo(x):
+        if f64:
+            return _hilo(x)
+        return x.astype(jnp.float32), jnp.zeros(x.shape, jnp.float32)
+
+    intr_t = jnp.concatenate([cam_params[:, :6], cam_params[:, 9:12]], -1)
+    ih, il = hilo(intr_t)
+    cam_pack = jnp.stack([ih, il], -1).reshape(C, 18)
+    cam_pack = jnp.pad(cam_pack, ((0, 0), (0, 6)))
+    R_c = so3_exp(cam_params[:, 6:9])
+    rch, rcl = hilo(R_c.reshape(C, 9))
+    rc_pack = jnp.concatenate([rch, rcl], -1)  # (C, 18)
+
+    R_p = so3_exp(pose_k[:, :3])
+    p_w = jnp.einsum("nj,fij->fni", objpoints, R_p) + pose_k[:, None, 3:]
+    pwh, pwl = hilo(p_w)
+
+    def lanes(x):
+        x = jnp.repeat(x.transpose(0, 2, 1), 2, axis=-1)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, LANES - 2 * N)))
+
+    pw_pack = jnp.concatenate([lanes(pwh), lanes(pwl)], axis=1)
+
+    cost = _ba_chunk_cost(
+        cam_pack, rc_pack, pw_pack, obs_hi, obs_lo, msk,
+        n_points=N, f_scale=float(f_scale), loss_linear=bool(loss_linear),
+        tile_f=Tf, interpret=bool(interpret),
+    )
+    return cost[:, :F0]

@@ -193,6 +193,40 @@ def _corner_response_peaks_pallas(
     wp = _round_up(W + 2 * halo, 128)
     wo = wp - 2 * halo
 
+    # VMEM-stack guard (compiled-only failure class): when the custom
+    # call's FULL outputs fit under XLA:TPU's 16 MB scoped-vmem limit,
+    # layout assignment places them in VMEM (S(1)); at large halos (the
+    # sigma=9 blur rung: outputs 2 x 4x512x704 f32 = 11.5 MB) the outputs
+    # plus the staged input block overflow the window and compilation
+    # fails with a kernel-vmem-stack OOM. Interpret-mode tests cannot see
+    # this. Slab the batch so each call stays ~<= 6 MB of outputs —
+    # either the slabs are placed in VMEM with headroom or they spill to
+    # HBM; both compile. (Huge batches, e.g. 128 full frames, never fit
+    # and always go to HBM — only the mid-size window is affected.)
+    itemsize = jnp.dtype(dtype).itemsize
+    out_total = 2 * B * hp * wo * itemsize
+    per_frame = (2 * hp * wo + (hp + copy_h - tile_h) * wp) * itemsize
+    fixed = copy_h * wp * itemsize
+    est_total = B * per_frame + fixed
+    # Danger window: outputs alone fit (so XLA may place them in VMEM)
+    # but outputs + staged input overflow the 16 MB scoped window.
+    max_b = max(1, ((12 << 20) - fixed) // per_frame)
+    if B > max_b and out_total < (16 << 20) and est_total > (14 << 20):
+        nb = -(-B // max_b)
+        pad_b = nb * max_b - B
+        gpad = jnp.pad(gray, ((0, pad_b), (0, 0), (0, 0)))
+        slabs = gpad.reshape(nb, max_b, H, W)
+        resp, peak = jax.lax.map(
+            lambda g: _corner_response_peaks_pallas(
+                g, sigma=sigma, nms_radius=nms_radius, tile_h=tile_h,
+                interpret=interpret,
+            ),
+            slabs,
+        )
+        resp = resp.reshape(nb * max_b, H, W)[:B]
+        peak = peak.reshape(nb * max_b, H, W)[:B]
+        return resp, peak
+
     x = jnp.zeros((B, hp + (copy_h - tile_h), wp), dtype)
     x = jax.lax.dynamic_update_slice(x, gray, (0, halo, halo))
 

@@ -29,3 +29,20 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles ~200 XLA:CPU programs in one process; around
+    program ~190 XLA's backend_compile_and_load segfaults while compiling
+    the 8-device shard_map solver (test_lm_chunked) — the same test
+    passes in isolation, i.e. the crash is accumulated-state-dependent,
+    not a bug in the program being compiled. Dropping the executable
+    caches between modules keeps the live-program count bounded; each
+    module recompiles only what it shares with the previous one (small —
+    modules mostly compile their own programs).
+    """
+    yield
+    jax.clear_caches()

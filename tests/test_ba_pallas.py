@@ -306,3 +306,82 @@ class TestTwoFloatResidual:
             float(np.asarray(cost, np.float64).sum()), float(cost0),
             rtol=3e-5,
         )
+
+
+class TestCostKernel:
+    """Fused cost-evaluation kernel (ops/ba_pallas.ba_chunk_cost)."""
+
+    def test_cost_fragments_match_f64(self, problem):
+        """Per-(c,f) soft-L1 cost fragments from the cost-only kernel
+        match the f64 residual's, including at a padding-inducing tile
+        size (F=8 with tile_f=64 -> 56 padded frames)."""
+        from multicam_calibration_tpu.ops.ba_pallas import ba_chunk_cost
+
+        cam, poses, obs, mask, objp = problem
+        r64 = compute_residuals(cam, poses, obs, mask, objp)
+        z = jnp.where(mask[..., None], r64**2, 0.0)
+        rho64 = jnp.sum(jnp.sqrt(1.0 + z) - 1.0, axis=(-2, -1))
+        obs_hi, obs_lo, msk = ba_prepare_obs(obs, mask)
+        for tile_f in (8, 64):
+            cost = ba_chunk_cost(
+                cam, poses, obs_hi, obs_lo, msk, objp, tile_f=tile_f,
+                interpret=True,
+            )
+            assert np.isfinite(np.asarray(cost)).all()
+            np.testing.assert_allclose(
+                np.asarray(cost, np.float64), np.asarray(rho64),
+                rtol=2e-5, atol=1e-7,
+            )
+
+    def test_compute_cost_dispatch(self, problem):
+        """cost_impl='pallas' through compute_cost equals the XLA
+        cost_dtype='float32' path (the recipe it replaces) to the f32
+        cost-granularity level, and 'xla'/'auto' off-TPU stay on XLA."""
+        from multicam_calibration_tpu.models.lm_core import (
+            _pallas_cost_eval, compute_cost,
+        )
+
+        cam, poses, obs, mask, objp = problem
+        base = dict(
+            jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
+            cost_dtype="float32",
+        )
+        assert not _pallas_cost_eval(LMOptions(**base), cam.dtype, objp)
+        assert not _pallas_cost_eval(
+            LMOptions(cost_impl="auto", **base), cam.dtype, objp
+        )  # off-TPU
+        with pytest.raises(ValueError):
+            _pallas_cost_eval(
+                LMOptions(cost_impl="pallas", jac_dtype="float32"),
+                cam.dtype, objp,
+            )  # cost_dtype=None is not the kernel recipe
+        c_xla = compute_cost(
+            cam, poses, obs, mask, objp, LMOptions(**base)
+        )
+        c_pal = compute_cost(
+            cam, poses, obs, mask, objp,
+            LMOptions(cost_impl="pallas", **base),
+        )
+        assert np.isfinite(float(c_pal))
+        np.testing.assert_allclose(float(c_pal), float(c_xla), rtol=3e-5)
+
+    def test_lm_solve_with_pallas_cost(self, problem):
+        """Full LM with BOTH fused kernels (blocks + per-try cost) reaches
+        the XLA path's optimum."""
+        from multicam_calibration_tpu.models.lm_core import lm_solve
+
+        cam, poses, obs, mask, objp = problem
+        base = dict(
+            jac_dtype="float32", block_dtype="float32", grad_dtype="float32",
+            cost_dtype="float32", solve_dtype="float32",
+            lambda_escalation=3.0, max_iters=40,
+        )
+        _, _, info_x = lm_solve(
+            cam, poses, obs, mask, objp, LMOptions(block_impl="xla", **base)
+        )
+        _, _, info_p = lm_solve(
+            cam, poses, obs, mask, objp,
+            LMOptions(block_impl="pallas", cost_impl="pallas", **base),
+        )
+        cx, cp = float(info_x["final_cost"]), float(info_p["final_cost"])
+        assert cp <= cx * 1.001, (cp, cx)

@@ -158,3 +158,52 @@ def test_corner_response_pallas_finds_saddles(rng):
     iy, ix = np.unravel_index(np.argmax(out), out.shape)
     assert iy % 16 in (0, 15) or abs(iy % 16 - 0) <= 1
     assert out.max() > 0
+
+
+def test_corner_peaks_vmem_danger_window_slabs():
+    """Regression (round-4 battery failure): when the corner-peaks
+    outputs FIT under XLA:TPU's 16 MB scoped-vmem window, layout
+    assignment may place them in VMEM; adding the staged input block then
+    overflows the window and compilation fails (observed at the sigma=9
+    blur rung, batch 4 x 480x640 f32: outputs 11.5 MB + input 6.8 MB).
+    The wrapper slabs the batch in exactly that window. This pins (a)
+    that the crafted shape really lands in the window per the wrapper's
+    own arithmetic and (b) that slabbed == direct bitwise.
+    """
+    from multicam_calibration_tpu.ops.pallas_kernels import (
+        _round_up, corner_response_peaks_pallas,
+    )
+
+    B, H, W, sigma, tile_h = 2, 512, 640, 1.5, 64
+    # Mirror the wrapper's arithmetic to assert the branch actually fires.
+    rg = int(3 * sigma + 0.5)
+    halo = rg + 1 + 4
+    hp = _round_up(H, tile_h)
+    copy_h = _round_up(tile_h + 2 * halo, 8)
+    wp = _round_up(W + 2 * halo, 128)
+    wo = wp - 2 * halo
+    itemsize = 8  # f64 under the x64 test config
+    out_total = 2 * B * hp * wo * itemsize
+    per_frame = (2 * hp * wo + (hp + copy_h - tile_h) * wp) * itemsize
+    fixed = copy_h * wp * itemsize
+    max_b = max(1, ((12 << 20) - fixed) // per_frame)
+    assert out_total < (16 << 20) and B * per_frame + fixed > (14 << 20)
+    assert B > max_b  # the slab branch fires for this shape
+
+    rng = np.random.default_rng(3)
+    gray = jnp.asarray(rng.random((B, H, W)), jnp.float64)
+    r_slab, p_slab = corner_response_peaks_pallas(
+        gray, sigma=sigma, nms_radius=4, interpret=True
+    )
+    rs, ps = zip(*(
+        corner_response_peaks_pallas(
+            gray[i : i + 1], sigma=sigma, nms_radius=4, interpret=True
+        )
+        for i in range(B)
+    ))
+    np.testing.assert_array_equal(
+        np.asarray(r_slab), np.asarray(jnp.concatenate(rs))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(p_slab), np.asarray(jnp.concatenate(ps))
+    )
