@@ -231,6 +231,12 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "detail": {
             "workload": f"{N_CAMERAS}cam x {N_FRAMES}frames x 35pts",
+            # wall_s is the cross-impl/cross-round comparable (end-to-end
+            # solve wall to the converged optimum; vs_baseline = reference
+            # wall / wall_s). iter/s is NOT comparable across block_impl:
+            # the fused Pallas path converges in ~4x fewer, heavier
+            # iterations than the XLA blocks (7 vs 27-31 on this problem),
+            # so a LOWER iter/s can be a strictly faster solve.
             "wall_s": round(wall, 4),
             "n_iters": n_iters,
             "final_cost": round(final_cost, 2),

@@ -1745,6 +1745,14 @@ def _find_candidates(gray_b, max_candidates, nms_radius):
         "max_candidates", "nms_radius", "rows", "cols", "template_size",
         "win_size", "sigma",
     ),
+    # The large-sigma blur rungs put the corner-peaks pallas outputs in
+    # XLA's VMEM placement window; together with the lax.map slab
+    # accumulators the default 16 MB scoped-vmem budget overflows AT
+    # COMPILE TIME (kernel-vmem-stack OOM; v5e has 128 MB VMEM, the 16 MB
+    # scope is a compiler default). Raising the per-executable budget is
+    # the designed knob; axon forwards proto-backed xla_* options
+    # per-compile.
+    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"},
 )
 @with_highest_precision
 def _coarse_retry_at(
