@@ -775,11 +775,11 @@ def order_grid_points(
                     )
         windows.sort(key=lambda wdw: wdw[0], reverse=True)
 
-        def fill_holes(cells, good):
+        def fill_holes(cells, good, assign):
             """Pixel positions for a window, homography-predicting missing or
             weak (pseudo-corner) cells from the good ones (plain numpy DLT —
             this host helper must not dispatch to a device)."""
-            present = [(c, pts[grid[c]]) for c in cells if c in good]
+            present = [(c, pts[assign[c]]) for c in cells if c in good]
             if len(present) == len(cells):
                 return np.stack([p for _, p in present])
             src = np.array([c for c, _ in present], float)
@@ -834,7 +834,7 @@ def order_grid_points(
                         return False
             return True
 
-        def ghost_of(cells, good, uv_grid):
+        def ghost_of(cells, good, uv_grid, assign):
             """True when the window's measured cells have a coherent
             TRANSLATED COPY among the unused candidates. Motion blur splits
             every saddle into two displaced ghosts; a lattice grown on one
@@ -845,8 +845,8 @@ def order_grid_points(
             mcells = [c for c in cells if c in good]
             if len(mcells) < 8:
                 return False
-            used = {grid[c] for c in mcells}
-            P = np.stack([pts[grid[c]] for c in mcells])
+            used = {assign[c] for c in mcells}
+            P = np.stack([pts[assign[c]] for c in mcells])
             unused = np.array(
                 [i for i in range(len(pts)) if i not in used], dtype=int
             )
@@ -863,19 +863,18 @@ def order_grid_points(
             dd = np.linalg.norm(offs[:, None] - offs[None], axis=-1)
             return int((dd < 1.5).sum(1).max()) >= 0.6 * len(P)
 
-        results = []
-        seen_cells = []
-        for key, (nr, nc), cells, good in windows:
-            uvs = fill_holes(cells, good)
+        def positional_gates(cells, good, assign, nr, nc, n_missing):
+            """Gates on the window's pixel geometry; uv_grid or None."""
+            uvs = fill_holes(cells, good, assign)
             uv_grid = uvs.reshape(nr, nc, 2)
             if not smooth_enough(uv_grid):
-                continue
-            if ghost_of(cells, good, uv_grid):
-                continue
-            if -key[0] > hole_budget:
+                return None
+            if ghost_of(cells, good, uv_grid, assign):
+                return None
+            if n_missing > hole_budget:
                 # Structured-budget window: the board must END here...
                 if not lattice_ends_at(uv_grid):
-                    continue
+                    return None
                 # ...and with this many homography-FILLED cells, the
                 # measured cells must actually be homographic (rms < 1 px).
                 # Blur smears refinement and lens distortion bends the
@@ -884,14 +883,127 @@ def order_grid_points(
                 # blur_16/24px suites admitted mean-5px grids without this).
                 mcells = [c for c in cells if c in good]
                 src = np.array(mcells, float)
-                dst = np.stack([pts[grid[c]] for c in mcells])
+                dst = np.stack([pts[assign[c]] for c in mcells])
                 Hm = _dlt_homography_np(src, dst)
                 pr = np.concatenate(
                     [src, np.ones((len(src), 1))], 1
                 ) @ Hm.T
                 pr = pr[:, :2] / pr[:, 2:]
                 if float(np.sqrt(((pr - dst) ** 2).sum(1).mean())) > 1.0:
-                    continue
+                    return None
+            return uv_grid
+
+        def structural_gates(cells, good, nr, nc):
+            """Hole-structure gates (re-run after a repair changes the
+            good-set): budget, <=2-line coverage, boundary/aliasing."""
+            n_missing = len(cells) - len(good)
+            if n_missing > struct_budget:
+                return False
+            if n_missing <= hole_budget:
+                return True
+            missing = [c for c in cells if c not in good]
+            if not _lines_cover(missing):
+                return False
+            mset = set(missing)
+            edge = False
+            for line in (
+                [cells[b] for b in range(nc)],
+                [cells[(nr - 1) * nc + b] for b in range(nc)],
+            ):
+                edge |= sum(c in mset for c in line) >= nc - 1
+            for line in (
+                [cells[a * nc] for a in range(nr)],
+                [cells[a * nc + nc - 1] for a in range(nr)],
+            ):
+                edge |= sum(c in mset for c in line) >= nr - 1
+            if edge:
+                return False
+            full_rows = [
+                a for a in range(nr)
+                if all(cells[a * nc + b] in mset for b in range(nc))
+            ]
+            full_cols = [
+                b for b in range(nc)
+                if all(cells[a * nc + b] in mset for a in range(nr))
+            ]
+            return not any(
+                len(fl) >= 2 and all(np.diff(fl) == 2)
+                for fl in (full_rows, full_cols)
+            )
+
+        def repair_window(cells):
+            """Global homography-refit re-assignment (host analogue of the
+            device path's refit ordering). BFS growth admits an occlusion
+            bar's edge pseudo-corners — they sit within the admission
+            tolerance of the predicted cell — and every cell extrapolated
+            THROUGH them inherits the displacement, so the whole window
+            fails the smoothness/homography gates even though most cells
+            are true corners. The majority is still right: refit H on the
+            current assignment, snap every cell to its nearest candidate
+            near the H-prediction (injectively), iterate to a fixed point.
+            Gates re-run on the repaired window, so a repair can only ever
+            PROPOSE — it cannot admit a window the gates would reject."""
+            assign = {c: grid[c] for c in cells if c in grid}
+            if len(assign) < 10:
+                return None
+            tol = max(2.5, 0.2 * pitch)
+            cells_f = np.concatenate(
+                [np.array(cells, float), np.ones((len(cells), 1))], 1
+            )
+            for _ in range(3):
+                src = np.array(list(assign), float)
+                dst = np.stack([pts[assign[c]] for c in assign])
+                Hm = _dlt_homography_np(src, dst)
+                pr = cells_f @ Hm.T
+                pr = pr[:, :2] / pr[:, 2:]
+                dd = np.linalg.norm(pts[None, :] - pr[:, None], axis=-1)
+                new, owner = {}, {}
+                for k, c in enumerate(cells):
+                    j = int(np.argmin(dd[k]))
+                    if dd[k, j] >= tol:
+                        continue
+                    if j in owner:
+                        k0, c0 = owner[j]
+                        if dd[k0, j] <= dd[k, j]:
+                            continue
+                        del new[c0]
+                    owner[j] = (k, c)
+                    new[c] = j
+                if len(new) < 10:
+                    return None
+                if new == assign:
+                    break
+                assign = new
+            cell_sc = np.array([sc[assign[c]] for c in assign])
+            good = frozenset(
+                c for c, s_ in zip(assign, cell_sc)
+                if s_ >= 0.45 * np.median(cell_sc)
+            )
+            return {c: assign[c] for c in good}, good
+
+        results = []
+        seen_cells = []
+        n_repairs = 0
+        for key, (nr, nc), cells, good in windows:
+            assign = {c: grid[c] for c in cells if c in good}
+            uv_grid = positional_gates(cells, good, assign, nr, nc, -key[0])
+            if uv_grid is None and escalated and n_repairs < 12:
+                # Escalated retries only: repair is for structured
+                # occlusion (bar-edge clutter), and the standard pass
+                # already found nothing on these frames.
+                n_repairs += 1
+                rep = repair_window(cells)
+                if rep is not None and rep[1] != good:
+                    assign2, good2 = rep
+                    if structural_gates(cells, good2, nr, nc):
+                        uv2 = positional_gates(
+                            cells, good2, assign2, nr, nc,
+                            len(cells) - len(good2),
+                        )
+                        if uv2 is not None:
+                            uv_grid, good, assign = uv2, good2, assign2
+            if uv_grid is None:
+                continue
             cellset = frozenset(cells)
             if cellset in seen_cells:
                 continue
@@ -1739,23 +1851,42 @@ def _find_candidates(gray_b, max_candidates, nms_radius):
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "max_candidates", "nms_radius", "rows", "cols", "template_size",
-        "win_size", "sigma",
-    ),
-    # The large-sigma blur rungs put the corner-peaks pallas outputs in
-    # XLA's VMEM placement window; together with the lax.map slab
-    # accumulators the default 16 MB scoped-vmem budget overflows AT
-    # COMPILE TIME (kernel-vmem-stack OOM; v5e has 128 MB VMEM, the 16 MB
-    # scope is a compiler default). Raising the per-executable budget is
-    # the designed knob; axon forwards proto-backed xla_* options
-    # per-compile.
-    compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"},
-)
-@with_highest_precision
-def _coarse_retry_at(
+def _coarse_retry_jit(tpu):
+    """Backend-dispatched jit of ``_coarse_retry_impl``.
+
+    The large-sigma blur rungs put the corner-peaks pallas outputs in
+    XLA's VMEM placement window; together with the lax.map slab
+    accumulators the default 16 MB scoped-vmem budget overflows AT
+    COMPILE TIME (kernel-vmem-stack OOM; v5e has 128 MB VMEM, the 16 MB
+    scope is a compiler default). Raising the per-executable budget is
+    the designed knob; axon forwards proto-backed xla_* options
+    per-compile. The option only exists on TPU backends — passing it to
+    the CPU compiler is an INVALID_ARGUMENT at compile time — so the
+    jitted executable is built per-backend.
+    """
+    opts = {"xla_tpu_scoped_vmem_limit_kib": "65536"} if tpu else None
+    return functools.partial(
+        jax.jit,
+        static_argnames=(
+            "max_candidates", "nms_radius", "rows", "cols", "template_size",
+            "win_size", "sigma",
+        ),
+        compiler_options=opts,
+    )(with_highest_precision(_coarse_retry_impl))
+
+
+def _coarse_retry_at(*args, **kw):
+    tpu = jax.default_backend() not in ("cpu",)
+    fn = _COARSE_RETRY_CACHE.get(tpu)
+    if fn is None:
+        fn = _COARSE_RETRY_CACHE[tpu] = _coarse_retry_jit(tpu)
+    return fn(*args, **kw)
+
+
+_COARSE_RETRY_CACHE = {}
+
+
+def _coarse_retry_impl(
     gray_all, idx, max_candidates, nms_radius, rows, cols, template_size,
     win_size, sigma,
 ):

@@ -240,6 +240,33 @@ class TestRealisticImagery:
         assert d.min(0).mean() < 1.0
         assert d.min(0).max() < 2.5  # filled cells stay homography-close
 
+    def test_two_bar_occlusion_repaired_by_homography_refit(self):
+        """Two thin occluding bars: their edge pseudo-corners sit within the
+        BFS admission tolerance of the killed cells, so the grown lattice
+        absorbs them and every window fails the smoothness/homography gates
+        even though candidate recall is near-perfect. The escalated-retry
+        homography-refit repair must snap the window back onto the true
+        corners (sweep frames 11505/11511/11520, where cv2 also fails)."""
+        n_found, errs = 0, []
+        for seed in (11505, 11511, 11520):
+            rng = np.random.default_rng(seed)
+            H = random_view_homography(rng, board_shape=BOARD)
+            view, gt = render_board_view(
+                H, out_size=(480, 640), board_shape=BOARD, noise=2.0,
+                seed=seed, occlusion_px=10, occlusion_bars=2,
+            )
+            det = mct.detect_chessboard(
+                view.astype(np.uint8), board_shape=BOARD
+            )
+            if det is not None:
+                n_found += 1
+                d = np.linalg.norm(
+                    np.asarray(det[0])[:, None] - gt[None], axis=-1
+                )
+                errs.append(d.min(0).mean())
+        assert n_found >= 2, f"repair rescued only {n_found}/3 two-bar frames"
+        assert np.max(errs) < 1.0  # repaired grids are true grids
+
     def test_settle_constructed_keeps_converged_restores_wandered(self):
         from multicam_calibration_tpu.detection.detector import (
             _settle_constructed,
