@@ -224,6 +224,36 @@ def main():
                 quality_ok = bool(final_cost <= ref["cost"] * 1.05)
             vs_baseline = ref["wall_s"] / wall if quality_ok else 0.0
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    platform = jax.default_backend()
+    # Outage insurance (r4 lesson: the driver's official record was an
+    # honest CPU fallback because axon was down at snapshot time, losing
+    # the TPU number): every record is commit-stamped, every TPU run also
+    # writes BENCH_LAST_TPU.json (never overwritten by CPU fallbacks), and
+    # a CPU fallback embeds the freshest committed TPU record so the
+    # fallback row still points at same-tree TPU evidence.
+    last_tpu_record = None
+    if platform == "cpu":
+        for cand in ("BENCH_LAST_TPU.json", "BENCH_LAST.json"):
+            try:
+                with open(os.path.join(here, cand)) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                continue
+            pdetail = prev.get("detail", {})
+            if pdetail.get("platform") not in (None, "cpu"):
+                last_tpu_record = {
+                    "source": cand,
+                    "git_commit": pdetail.get("git_commit"),
+                    "platform": pdetail.get("platform"),
+                    "wall_s": pdetail.get("wall_s"),
+                    "value": prev.get("value"),
+                    "vs_baseline": prev.get("vs_baseline"),
+                    "quality_vs_ref_ok": pdetail.get("quality_vs_ref_ok"),
+                    "block_impl": pdetail.get("block_impl"),
+                }
+                break
+
     result = {
         "metric": "ba_lm_iterations_per_s",
         "value": round(iters_per_s, 3),
@@ -244,7 +274,8 @@ def main():
             "quality_vs_ref_ok": quality_ok,
             "identical_problem_to_ref": identical_problem,
             "n_frames_used": int(len(use_frames)),
-            "platform": jax.default_backend(),
+            "platform": platform,
+            "git_commit": _git_commit(),
             "flops": flops_detail,
             # Which block-build executed: the fused Pallas kernel (two-float
             # residual, in-VMEM Jacobians; ops/ba_pallas.py) on TPU with the
@@ -254,20 +285,40 @@ def main():
             ) else "xla",
         },
     }
+    if last_tpu_record is not None:
+        result["detail"]["last_tpu_record"] = last_tpu_record
     line = json.dumps(result)
     # Redundant local record (the driver captures stdout; BENCH_LAST.json
     # survives even if that capture is lost or the parent is killed after
-    # this point).
-    try:
-        last = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
-        )
-        with open(last + ".tmp", "w") as f:
-            f.write(line + "\n")
-        os.replace(last + ".tmp", last)
-    except OSError:
-        pass
+    # this point). TPU runs also refresh BENCH_LAST_TPU.json, which CPU
+    # fallbacks cite but never overwrite.
+    targets = ["BENCH_LAST.json"]
+    if platform != "cpu":
+        targets.append("BENCH_LAST_TPU.json")
+    for name in targets:
+        try:
+            last = os.path.join(here, name)
+            with open(last + ".tmp", "w") as f:
+                f.write(line + "\n")
+            os.replace(last + ".tmp", last)
+        except OSError:
+            pass
     print(line)
+
+
+def _git_commit():
+    """Short commit hash of the tree this bench ran from (best effort)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=5,
+        )
+        return out.stdout.strip() or None
+    except (OSError, subprocess.TimeoutExpired):
+        return None
 
 
 def _is_transient(exc):

@@ -39,6 +39,20 @@ def _from_git(root):
     return None
 
 
+def _from_metadata():
+    # Installed sdist/wheel: the version baked at build time lives in the
+    # distribution metadata (versioneer's PKG-INFO path, reference
+    # _version.py:1).
+    try:
+        from importlib.metadata import version, PackageNotFoundError
+    except ImportError:  # pragma: no cover - py<3.8
+        return None
+    try:
+        return version("multicam-calibration-tpu")
+    except PackageNotFoundError:
+        return None
+
+
 def get_version():
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
@@ -46,6 +60,9 @@ def get_version():
         v = _from_git(root)
         if v:
             return v
+    v = _from_metadata()
+    if v:
+        return v
     return _FALLBACK
 
 

@@ -984,16 +984,31 @@ def order_grid_points(
         results = []
         seen_cells = []
         n_repairs = 0
+        failed_repairs = []
         for key, (nr, nc), cells, good in windows:
             assign = {c: grid[c] for c in cells if c in good}
             uv_grid = positional_gates(cells, good, assign, nr, nc, -key[0])
-            if uv_grid is None and escalated and n_repairs < 12:
+            # Don't burn the repair budget on near-duplicates of a window
+            # whose repair already failed: clutter-grown lattices emit many
+            # shifted windows sharing most cells, and sort order would
+            # otherwise exhaust the budget before the true window is tried.
+            cellset_now = frozenset(cells)
+            dup_failed = any(
+                len(cellset_now & f) >= 0.75 * len(cellset_now)
+                for f in failed_repairs
+            )
+            if uv_grid is None and escalated and n_repairs < 12 \
+                    and not dup_failed:
                 # Escalated retries only: repair is for structured
                 # occlusion (bar-edge clutter), and the standard pass
                 # already found nothing on these frames.
                 n_repairs += 1
                 rep = repair_window(cells)
-                if rep is not None and rep[1] != good:
+                # Accept when the ASSIGNMENT changed, not just the good-cell
+                # set: a repair that re-snaps the same good cells to
+                # different candidates (the pseudo-corner-swap case the
+                # repair targets) must not be silently discarded.
+                if rep is not None and (rep[0] != assign or rep[1] != good):
                     assign2, good2 = rep
                     if structural_gates(cells, good2, nr, nc):
                         uv2 = positional_gates(
@@ -1002,6 +1017,8 @@ def order_grid_points(
                         )
                         if uv2 is not None:
                             uv_grid, good, assign = uv2, good2, assign2
+                if uv_grid is None:
+                    failed_repairs.append(cellset_now)
             if uv_grid is None:
                 continue
             cellset = frozenset(cells)
@@ -1876,7 +1893,9 @@ def _coarse_retry_jit(tpu):
 
 
 def _coarse_retry_at(*args, **kw):
-    tpu = jax.default_backend() not in ("cpu",)
+    # Strict == "tpu": xla_tpu_* compiler options are INVALID_ARGUMENT on
+    # any other compiler (CPU crashed at runtime in r4; GPU would too).
+    tpu = jax.default_backend() == "tpu"
     fn = _COARSE_RETRY_CACHE.get(tpu)
     if fn is None:
         fn = _COARSE_RETRY_CACHE[tpu] = _coarse_retry_jit(tpu)
@@ -2485,6 +2504,35 @@ def _order_grids_jit(xy_b, sc_b, rows, cols, min_candidate_sep=0.0):
     )
 
 
+def _stage1_impl(
+    gray_b, max_candidates, nms_radius, rows, cols, template_size, win_size
+):
+    xy, score = _find_candidates(gray_b, max_candidates, nms_radius)
+    grids, ok = _order_grids_jit(
+        xy, score, rows, cols, min_candidate_sep=float(nms_radius + 1)
+    )
+    grids_r, scores4 = _refine_and_score(
+        gray_b, grids.astype(gray_b.dtype), template_size, win_size
+    )
+    return xy, score, grids_r, scores4, ok
+
+
+# One fused program for remote/TPU backends: each program launch on the
+# tunnel costs ~26 ms of host time regardless of FLOPs (LM_DECOMPOSITION
+# dispatch floor), so three chained jit calls put ~78 ms of pure dispatch
+# in every batch — the dominant term of the r4 device-resident rate
+# (1004 fps at batch 128 = 127 ms/batch). Fusing to ONE dispatch is the
+# single biggest clean-frame throughput lever. (Inner jitted calls inline
+# into the outer trace; with_highest_precision contexts nest.)
+_stage1_fused = functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_candidates", "nms_radius", "rows", "cols", "template_size",
+        "win_size",
+    ),
+)(with_highest_precision(_stage1_impl))
+
+
 def _stage1_fast(
     gray_b, max_candidates, nms_radius, rows, cols, template_size, win_size
 ):
@@ -2494,19 +2542,19 @@ def _stage1_fast(
     the stage-2 dispatch; the rest fall back to the host path using
     (xy, score) as before.
 
-    Three chained jit calls rather than one fused program: JAX async
-    dispatch queues them back-to-back with no host sync (a single logical
-    dispatch on remote devices), while keeping each program in the form
-    XLA already compiles well — the monolithic fusion measured ~20% SLOWER
-    on XLA:CPU than the sum of its parts."""
-    xy, score = _find_candidates(gray_b, max_candidates, nms_radius)
-    grids, ok = _order_grids_jit(
-        xy, score, rows, cols, min_candidate_sep=float(nms_radius + 1)
+    On CPU: three chained jit calls — the monolithic fusion measured ~20%
+    SLOWER on XLA:CPU than the sum of its parts, and local dispatch is
+    free. On TPU: one fused program (dispatch latency dominates; see
+    _stage1_fused)."""
+    if jax.default_backend() == "tpu":
+        return _stage1_fused(
+            gray_b, max_candidates, nms_radius, rows, cols, template_size,
+            win_size,
+        )
+    return _stage1_impl(
+        gray_b, max_candidates, nms_radius, rows, cols, template_size,
+        win_size,
     )
-    grids_r, scores4 = _refine_and_score(
-        gray_b, grids.astype(gray_b.dtype), template_size, win_size
-    )
-    return xy, score, grids_r, scores4, ok
 
 
 # 6 (not 3): on hard frames the true window often carries 1-2 candidate
@@ -2645,11 +2693,16 @@ def _batch_finish(
     # of the pre-fast-path behavior.
     out = {}
     if fast:
-        fast_ok = np.asarray(fast_ok_d)
+        # One gather wave for all three small stage-1 outputs (~35 KB at
+        # batch 128): separate np.asarray calls are sequential host syncs,
+        # each paying the remote tunnel's round-trip latency.
+        fast_ok, fast_uv, fast_sc4 = jax.device_get(
+            (fast_ok_d, fast_uv_d, fast_sc4_d)
+        )
+        fast_ok = np.asarray(fast_ok)
+        fast_uv = np.asarray(fast_uv)
+        fast_sc4 = np.asarray(fast_sc4)
         fallback = []
-        if fast_ok.any():
-            fast_uv = np.asarray(fast_uv_d)
-            fast_sc4 = np.asarray(fast_sc4_d)
         for i in range(B):
             if not (
                 fast_ok[i]

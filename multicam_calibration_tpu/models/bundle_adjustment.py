@@ -645,12 +645,42 @@ def bundle_adjust(
             grad_dtype=None,
             max_iters=10,
         )
-        with metrics.timer("ba.f64_polish"):
-            cam, poses, pinfo = _solve(
-                cam, poses, polish_opts, init_lam=float(info["lambda"])
-            )
+        # Small problems polish on the host CPU backend (native f64):
+        # on TPU the emulated-f64 compile alone costs ~40 s per fresh
+        # shape — 400x a toy problem's own solve time — while the CPU
+        # compile+run is ~4 s cold / <0.1 s warm. Large problems stay on
+        # device where the emulated-f64 run is amortized by real work.
+        polish_on_cpu = (
+            mesh is None
+            and _jax.default_backend() != "cpu"
+            and obs.size <= 8_000_000
+        )
+        with metrics.timer("ba.f64_polish", on_cpu=polish_on_cpu):
+            if polish_on_cpu:
+                cpu_dev = _jax.devices("cpu")[0]
+
+                def _put(x):
+                    return _jax.device_put(x, cpu_dev)
+
+                cam_c, poses_c, pinfo = lm_solve(
+                    _put(cam), _put(poses), _put(obs), _put(mask),
+                    _put(objpoints_j), polish_opts,
+                    init_lam=float(info["lambda"]),
+                )
+                dev = next(iter(obs.devices()))
+                cam = _jax.device_put(cam_c, dev)
+                poses = _jax.device_put(poses_c, dev)
+                pinfo = {
+                    k: (float(v) if jnp.ndim(v) == 0 else np.asarray(v))
+                    for k, v in pinfo.items()
+                }
+            else:
+                cam, poses, pinfo = _solve(
+                    cam, poses, polish_opts, init_lam=float(info["lambda"])
+                )
         info = dict(info)
         info["polish_iters"] = int(pinfo["n_iters"])
+        info["polish_on_cpu"] = bool(polish_on_cpu)
         info["final_cost"] = pinfo["final_cost"]
         info["optimality"] = pinfo["optimality"]
         metrics.log(

@@ -46,6 +46,28 @@ __all__ = ["ba_chunk_blocks", "ba_chunk_cost", "ba_prepare_obs", "LANES"]
 LANES = 128  # one VPU lane tile; N*2 <= LANES observations per frame
 
 
+def _out_sds(args):
+    """ShapeDtypeStruct factory honoring shard_map varying-mesh-axes.
+
+    Inside ``shard_map`` (check_vma default-on since jax 0.9) a
+    ``pallas_call``'s out_shape must declare how outputs vary across mesh
+    axes or tracing raises — the exact first-execution crash a multi-chip
+    auto-routing of this kernel would hit (caught by
+    tests/test_ba_pallas.py::TestShardMapPallas). Outputs vary over the
+    union of the inputs' vma (the per-shard fragments are frame-local)."""
+    try:
+        vma = frozenset().union(*(jax.typeof(a).vma for a in args))
+    except (AttributeError, TypeError):  # pragma: no cover - old jax
+        vma = None
+
+    def sds(shape, dtype):
+        if vma:
+            return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+        return jax.ShapeDtypeStruct(shape, dtype)
+
+    return sds
+
+
 # ---------------------------------------------------------------------------
 # Two-float (double-f32) helpers — error-free transforms, branch-free.
 # Safe under XLA/Mosaic: float ops are not reassociated; a*b+c may fuse to
@@ -447,12 +469,15 @@ def _ba_chunk_blocks(
     # else.
     with jax.enable_x64(False):
         out = _pallas(
-            kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret
-        )(cam_pack, rc_pack, jlc_pack, posef, pw_pack, obs_hi, obs_lo, msk)
+            kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret,
+            (cam_pack, rc_pack, jlc_pack, posef, pw_pack, obs_hi, obs_lo,
+             msk),
+        )
     return out[:5] + (out[5][..., 0],)
 
 
-def _pallas(kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret):
+def _pallas(kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret, args):
+    sds = _out_sds(args)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -489,15 +514,15 @@ def _pallas(kernel, grid, Tf, Tc, nF, nC, C, Fk, interpret):
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nF, C, 12, 12), jnp.float32),
-            jax.ShapeDtypeStruct((Fk, 36), jnp.float32),
-            jax.ShapeDtypeStruct((C, Fk, 72), jnp.float32),
-            jax.ShapeDtypeStruct((C, Fk, 12), jnp.float32),
-            jax.ShapeDtypeStruct((C, Fk, 6), jnp.float32),
-            jax.ShapeDtypeStruct((C, Fk, 1), jnp.float32),
+            sds((nF, C, 12, 12), jnp.float32),
+            sds((Fk, 36), jnp.float32),
+            sds((C, Fk, 72), jnp.float32),
+            sds((C, Fk, 12), jnp.float32),
+            sds((C, Fk, 6), jnp.float32),
+            sds((C, Fk, 1), jnp.float32),
         ),
         interpret=interpret,
-    )
+    )(*args)
 
 
 def ba_chunk_blocks(
@@ -672,7 +697,9 @@ def _ba_chunk_cost(
                 (Tc, Tf, 1), lambda fi, cj: (cj, fi, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((C, Fk, 1), jnp.float32),
+            out_shape=_out_sds(
+                (cam_pack, rc_pack, pw_pack, obs_hi, obs_lo, msk)
+            )((C, Fk, 1), jnp.float32),
             interpret=interpret,
         )(cam_pack, rc_pack, pw_pack, obs_hi, obs_lo, msk)
     return out[..., 0]

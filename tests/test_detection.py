@@ -813,3 +813,35 @@ def test_motion_blur_detection_matches_reference():
                 errs.append(d.min(0).mean())
         assert n_us >= n_ref, f"blur {blur}: ours {n_us}/8 vs ref {n_ref}/8"
         assert np.mean(errs) < 1.0, f"blur {blur}: mean err {np.mean(errs)}"
+
+
+class TestFusedStage1:
+    def test_fused_stage1_matches_unfused(self):
+        """The TPU single-dispatch stage-1 program (_stage1_fused — one jit
+        wrapping candidates + device ordering + refine + anchor scores)
+        must be numerically identical to the three-call CPU path: fusion
+        only moves the jit boundary, never the math."""
+        import jax.numpy as jnp
+        from multicam_calibration_tpu.detection.detector import (
+            _gray_from_u8,
+            _stage1_fused,
+            _stage1_impl,
+        )
+
+        frames = []
+        for k in range(4):
+            rng = np.random.default_rng(300 + k)
+            H = random_view_homography(rng, board_shape=BOARD)
+            v, _ = render_board_view(
+                H, out_size=(480, 640), board_shape=BOARD, noise=2.0, seed=k
+            )
+            frames.append(np.asarray(v).astype(np.uint8))
+        gray = _gray_from_u8(jnp.asarray(np.stack(frames)))
+        rows, cols = BOARD
+        a = _stage1_impl(gray, 160, 4, rows, cols, 40, 5)
+        b = _stage1_fused(gray, 160, 4, rows, cols, 40, 5)
+        for x, y, name in zip(a, b, ("xy", "score", "grids", "sc4", "ok")):
+            np.testing.assert_allclose(
+                np.asarray(x, np.float64), np.asarray(y, np.float64),
+                rtol=1e-6, atol=1e-6, err_msg=name,
+            )

@@ -281,3 +281,49 @@ def test_grad_dtype_matches_data_dtype_gradient(problem):
     )
     _, _, i_f64 = lm_solve(*args, LMOptions())
     assert float(i_p["final_cost"]) <= float(i_f64["final_cost"]) * (1 + 1e-4)
+
+
+def test_f64_polish_relocates_to_cpu_on_accelerators(monkeypatch):
+    """On non-CPU backends small problems run the f64 polish on the host
+    CPU backend: the emulated-f64 TPU compile costs ~40 s per fresh shape
+    (400x a toy's own solve, BENCH_SWEEP r4 config 1) while CPU f64 is
+    native. Patch bundle_adjustment's backend probe to 'tpu' (lm_core
+    still sees the real CPU backend, so no Pallas routing) and check the
+    polish takes the relocated path and still reaches the f64 optimum."""
+    import jax as real_jax
+    from multicam_calibration_tpu.models import bundle_adjustment as ba_mod
+
+    class _FakeJax:
+        def __getattr__(self, name):
+            return getattr(real_jax, name)
+
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+    rig = mct.make_synthetic_rig(
+        n_cameras=3, n_frames=40, noise_px=0.4, dropout=0.1, seed=3
+    )
+    ext, intr, poses, _ = mct.calibrate(
+        rig.all_calib_uvs, rig.img_sizes, rig.calib_objpoints,
+        verbose=False, n_samples_for_intrinsics=15,
+    )
+    # Baseline: pure-f64 solve on this backend (no polish fires).
+    ext64, intr64, poses64, use64, i_f64 = mct.bundle_adjust(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        verbose=False, repair_poses=False,
+    )
+    assert "polish_iters" not in i_f64
+
+    monkeypatch.setattr(ba_mod, "_fake_backend_for_test", None, raising=False)
+    monkeypatch.setattr(ba_mod, "_jax", _FakeJax())
+    _, _, _, _, info = mct.bundle_adjust(
+        rig.all_calib_uvs, ext, intr, rig.calib_objpoints, poses,
+        lm_options=dict(solve_dtype="float32"),
+        verbose=False, repair_poses=False,
+    )
+    assert bool(info.get("polish_on_cpu", False)) is True
+    assert info["polish_iters"] >= 0
+    assert float(info["final_cost"]) <= float(i_f64["final_cost"]) * (
+        1 + 1e-4
+    )
