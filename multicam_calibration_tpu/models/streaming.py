@@ -22,6 +22,8 @@ of O(window) instead of O(history).
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -99,12 +101,23 @@ class RollingCalibrator:
         if not refine_intrinsics:
             cam_free[:, :6] = 0.0
         self._cam_free = cam_free
-        # Window state (host): observations, masks, poses, ages.
-        self._obs = np.full((n_cameras, self.window, N, 2), np.nan)
-        self._poses = np.zeros((self.window, 6))
+        # Window state lives ON DEVICE (obs, per-point masks, poses): each
+        # update scatters only the incoming batch and runs one fused
+        # program — re-uploading a 64cam x 256 window (9.2 MB f64) every
+        # update cost ~0.4 s alone on the remote tunnel (r4
+        # BENCH_STREAMING: 0.70 s/update; the window data never changes
+        # except the admitted slots). The host keeps only what eviction
+        # logic reads: per-(camera, slot) visibility + arrival order.
+        dt = self._dtype
+        self._obs_d = jnp.zeros((n_cameras, self.window, N, 2), dt)
+        self._msk_d = jnp.zeros((n_cameras, self.window, N), bool)
+        self._poses_d = jnp.zeros((self.window, 6), dt)
+        self._objp_d = jnp.asarray(self.objpoints, dt)
+        self._seen2d = np.zeros((n_cameras, self.window), bool)
         self._order = np.full(self.window, -1, dtype=np.int64)  # arrival idx
         self._next_arrival = 0
         self._lam = None
+        self._progs = {}
         self.n_updates = 0
 
     # -- public state ------------------------------------------------------
@@ -129,8 +142,7 @@ class RollingCalibrator:
         cameras); peak temp is the (P, W) co-visibility table, ~0.5 MB at
         64 cams x window 256.
         """
-        seen = ~np.isnan(self._obs).any((-1, -2))  # (C, W)
-        so = seen & (self._order >= 0)[None, :]
+        so = self._seen2d & (self._order >= 0)[None, :]
         a, b = np.triu_indices(so.shape[0], k=1)
         co = so[a] & so[b]  # (P, W)
         counts = co.sum(1)
@@ -165,6 +177,40 @@ class RollingCalibrator:
             slots.extend(remaining[:n_more])
         return np.asarray(slots[:n_needed], dtype=np.int64)
 
+    def _update_program(self, Bp):
+        """Fused per-update program (cached per padded batch size): scatter
+        the admitted frames into the device window, apply the active-frame
+        mask, and run the warm-started windowed LM — ONE device dispatch
+        per update instead of a full-window upload + solver dispatch +
+        scattered scalar syncs (r4 measured ~27 dispatch-floors/update)."""
+        fn = self._progs.get(Bp)
+        if fn is not None:
+            return fn
+        opts = self._opts
+        objp = self._objp_d
+
+        @functools.partial(
+            jax.jit, donate_argnames=("obs_d", "msk_d", "poses_d")
+        )
+        def step(
+            cam0, obs_d, msk_d, poses_d, b_obs, b_msk, b_poses, slots,
+            active, cam_free, lam,
+        ):
+            # Padded batch rows carry slot index == window (out of bounds)
+            # and are dropped by the scatter.
+            obs2 = obs_d.at[:, slots].set(b_obs, mode="drop")
+            msk2 = msk_d.at[:, slots].set(b_msk, mode="drop")
+            poses2 = poses_d.at[slots].set(b_poses, mode="drop")
+            mask_eff = msk2 & active[None, :, None]
+            cam, poses_out, info = lm_solve(
+                cam0, poses2, obs2, mask_eff, objp, opts,
+                cam_free=cam_free, init_lam=lam,
+            )
+            return obs2, msk2, poses_out, cam, info
+
+        self._progs[Bp] = step
+        return step
+
     def update(self, batch_uvs):
         """Ingest (n_cameras, B, N, 2) detections (NaN = unseen); refine.
 
@@ -177,60 +223,79 @@ class RollingCalibrator:
 
         # 1. pose init for the incoming frames at current cameras (one
         # batched vmapped call across all cameras — the per-camera Python
-        # loop cost C separate dispatches). Pinned to the CPU backend: the
-        # data is tiny (C x B x N x 2), the homography-pose path contains
-        # 3x3 LU solves that XLA:TPU does not implement for emulated f64,
-        # and the accelerator's time belongs to the windowed LM below.
+        # loop cost C separate dispatches). Pinned to the CPU backend
+        # INCLUDING the consensus reduction (its eager jnp ops would
+        # otherwise each pay a remote dispatch): the data is tiny
+        # (C x B x N x 2), the homography-pose path contains 3x3 LU solves
+        # that XLA:TPU does not implement for emulated f64, and the
+        # accelerator's time belongs to the windowed LM below.
         Ks = np.stack([K for K, _ in self._intr])
         ds = np.stack([d for _, d in self._intr])
         with jax.default_device(jax.devices("cpu")[0]):
-            per_cam = np.asarray(
-                _batched_estimate_pose(
-                    jnp.asarray(batch_uvs), jnp.asarray(Ks), jnp.asarray(ds),
-                    jnp.asarray(self.objpoints),
-                )
+            per_cam = _batched_estimate_pose(
+                jnp.asarray(batch_uvs), jnp.asarray(Ks), jnp.asarray(ds),
+                jnp.asarray(self.objpoints),
             )
-        poses_new = np.asarray(consensus_calib_poses(per_cam, self._ext))
+            poses_new = np.asarray(
+                consensus_calib_poses(per_cam, jnp.asarray(self._ext))
+            )
         ok = ~np.isnan(poses_new).any(-1)
 
         # 2. admit to the window (a batch larger than the window keeps its
-        # newest `window` frames).
+        # newest `window` frames); host mirrors carry only visibility +
+        # arrival order (what eviction reads).
         new_ix = np.nonzero(ok)[0]
         if len(new_ix) > self.window:
             new_ix = new_ix[-self.window :]
         slots = self._evict_slots(len(new_ix))
         for slot, j in zip(slots, new_ix):
-            self._obs[:, slot] = batch_uvs[:, j]
-            self._poses[slot] = poses_new[j]
+            self._seen2d[:, slot] = ~np.isnan(batch_uvs[:, j]).any((-1, -2))
             self._order[slot] = self._next_arrival
             self._next_arrival += 1
-
-        # 3. windowed LM (static shapes; same compiled program every call).
         occupied = self._order >= 0
-        seen_count = (~np.isnan(self._obs).any((-1, -2))).sum(0)
-        active = occupied & (seen_count >= 2)
-        mask_np = (
-            ~np.isnan(self._obs).any(-1) & active[None, :, None]
-        )  # (C, W, N)
+        active = occupied & ((self._seen2d & occupied[None]).sum(0) >= 2)
+
+        # 3. fused scatter + windowed LM (static shapes: the batch is
+        # padded to a power of two so batch-size jitter reuses programs).
+        nb = len(new_ix)
+        N = self.objpoints.shape[0]
+        Bp = max(1, 1 << max(nb - 1, 0).bit_length())
+        b_obs = np.zeros((C, Bp, N, 2))
+        b_msk = np.zeros((C, Bp, N), bool)
+        b_poses = np.zeros((Bp, 6))
+        slots_p = np.full(Bp, self.window, np.int32)  # OOB -> dropped
+        if nb:
+            sel = batch_uvs[:, new_ix]
+            b_obs[:, :nb] = np.nan_to_num(sel)
+            b_msk[:, :nb] = ~np.isnan(sel).any(-1)
+            b_poses[:nb] = np.nan_to_num(poses_new[new_ix])
+            slots_p[:nb] = slots
         dt = self._dtype
-        cam0 = jnp.asarray(_params_to_arrays(self._ext, self._intr), dt)
-        obs = jnp.asarray(np.nan_to_num(self._obs), dt)
-        mask = jnp.asarray(mask_np)
-        poses0 = jnp.asarray(np.nan_to_num(self._poses), dt)
-        objp = jnp.asarray(self.objpoints, dt)
-        cam, poses, info = lm_solve(
-            cam0, poses0, obs, mask, objp, self._opts,
-            cam_free=jnp.asarray(self._cam_free, dt), init_lam=self._lam,
+        lam = (
+            self._lam if self._lam is not None
+            else float(self._opts.init_lambda)
         )
-        self._lam = float(info["lambda"])
-        # np.array (copy): np.asarray of a jax array is a read-only view,
-        # and the window buffers are mutated by later updates.
-        self._ext, self._intr = _arrays_to_params(np.array(cam, np.float64))
-        self._poses = np.array(poses, np.float64)
+        step = self._update_program(Bp)
+        self._obs_d, self._msk_d, self._poses_d, cam_d, info = step(
+            jnp.asarray(_params_to_arrays(self._ext, self._intr), dt),
+            self._obs_d, self._msk_d, self._poses_d,
+            jnp.asarray(b_obs, dt), jnp.asarray(b_msk),
+            jnp.asarray(b_poses, dt), jnp.asarray(slots_p),
+            jnp.asarray(active), jnp.asarray(self._cam_free, dt),
+            jnp.asarray(lam, dt),
+        )
+        # One gathered download (cameras + the scalars the host needs).
+        cam_h, cost, n_iters, lam_out = jax.device_get(
+            (cam_d, info["final_cost"], info["n_iters"], info["lambda"])
+        )
+        self._lam = float(lam_out)
+        self._ext, self._intr = _arrays_to_params(
+            np.array(cam_h, np.float64)
+        )
         self.n_updates += 1
         return {
-            "cost": float(info["final_cost"]),
-            "n_iters": int(info["n_iters"]),
+            "cost": float(cost),
+            "n_iters": int(n_iters),
             "occupancy": self.occupancy,
-            "admitted": int(len(new_ix)),
+            "admitted": int(nb),
         }

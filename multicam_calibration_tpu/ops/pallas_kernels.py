@@ -101,11 +101,14 @@ def _corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=False):
     x = jax.lax.dynamic_update_slice(x, gray, (0, halo, halo))
 
     kvec = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
-    kvec = (kvec / kvec.sum()).astype(np.float64)
+    # Python floats (weak-typed), NOT np.float64 scalars: under
+    # jax_enable_x64 an np scalar tap promotes the whole f32 chain to f64
+    # and the kernel's f32 out_ref store fails at trace time.
+    kvec = [float(v) for v in kvec / kvec.sum()]
 
     grid = (B, hp // tile_h)
     out = pl.pallas_call(
-        functools.partial(_response_kernel, list(kvec), halo, tile_h, copy_h),
+        functools.partial(_response_kernel, kvec, halo, tile_h, copy_h),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
@@ -231,7 +234,8 @@ def _corner_response_peaks_pallas(
     x = jax.lax.dynamic_update_slice(x, gray, (0, halo, halo))
 
     kvec = np.exp(-0.5 * (np.arange(-rg, rg + 1) / sigma) ** 2)
-    kvec = (kvec / kvec.sum()).astype(np.float64)
+    # Python floats, not np.float64 scalars (see _corner_response_pallas).
+    kvec = [float(v) for v in kvec / kvec.sum()]
 
     grid = (B, hp // tile_h)
     out_spec = pl.BlockSpec(
