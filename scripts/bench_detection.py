@@ -52,10 +52,15 @@ def measure_reference(frames):
 
 
 def measure_decode_fps(frames, n_frames=600, fps_meta=30.0):
-    """Host-side decode rate of the native C++ loader (frames/s, one
-    stream): write the bench frames as a realistic-bitrate mp4, then time
-    NativeVideoReader.read_batch over it. This is the producer half of a
-    co-located deployment (decode thread feeding device batches)."""
+    """Host-side decode rate (frames/s, one stream): write the bench
+    frames as a realistic-bitrate mp4, then time batched reads over it.
+    This is the producer half of a co-located deployment (decode thread
+    feeding device batches).
+
+    Returns (fps or None, impl string): the native C++ loader when
+    available, else cv2 (labeled) — the projection keys must exist in the
+    artifact either way (r4 shipped without them because the native
+    measurement silently returned None)."""
     import tempfile
 
     from multicam_calibration_tpu.detection.native_video import (
@@ -64,11 +69,10 @@ def measure_decode_fps(frames, n_frames=600, fps_meta=30.0):
         available,
     )
 
-    if not available():
-        return None
     h, w = frames[0].shape[:2]
     path = tempfile.mktemp(suffix=".mp4", prefix="mcc_decbench_")
-    try:
+
+    def _write_native():
         wr = NativeVideoWriter(
             path, w, h, fps=fps_meta, gray=True,
             bit_rate=int(w * h * fps_meta * 0.12),
@@ -77,6 +81,21 @@ def measure_decode_fps(frames, n_frames=600, fps_meta=30.0):
             f = frames[i % len(frames)]
             wr.write(f if f.ndim == 2 else f[..., 0])
         wr.close()
+
+    def _write_cv2():
+        import cv2
+
+        wr = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps_meta, (w, h), False
+        )
+        if not wr.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for i in range(n_frames):
+            f = frames[i % len(frames)]
+            wr.write(f if f.ndim == 2 else f[..., 0])
+        wr.release()
+
+    def _read_native():
         rd = NativeVideoReader(path, gray=True)
         rd.read_batch(32)  # warm the decode thread/ring
         t0 = time.time()
@@ -86,8 +105,43 @@ def measure_decode_fps(frames, n_frames=600, fps_meta=30.0):
             got += len(b)
             if len(b) < 64:
                 break
-        wall = time.time() - t0
-        return (got - 32) / wall
+        return (got - 32) / (time.time() - t0)
+
+    def _read_cv2():
+        import cv2
+
+        cap = cv2.VideoCapture(path)
+        for _ in range(32):  # warm
+            cap.read()
+        t0 = time.time()
+        got = 0
+        while True:
+            ret, _f = cap.read()
+            if not ret:
+                break
+            got += 1
+        cap.release()
+        return got / (time.time() - t0)
+
+    try:
+        if available():
+            try:
+                _write_native()
+                return _read_native(), "native"
+            except Exception as e:  # noqa: BLE001 - fall through to cv2
+                print(f"decode bench: native path failed ({e}); trying cv2",
+                      flush=True)
+        else:
+            print("decode bench: libmccvideo unavailable; trying cv2",
+                  flush=True)
+        try:
+            _write_cv2()
+            if available():
+                return _read_native(), "native-read/cv2-write"
+            return _read_cv2(), "cv2"
+        except Exception as e:  # noqa: BLE001 - report, don't crash bench
+            print(f"decode bench: cv2 fallback failed too ({e})", flush=True)
+            return None, "unavailable"
     finally:
         if os.path.exists(path):
             os.unlink(path)
@@ -180,47 +234,65 @@ def main():
         _stage1_fast,
     )
 
-    dbatch = 128
-    stack = np.stack(frames * (dbatch // BATCH))
-    gray = _gray_from_u8(jnp.asarray(stack))
-    np.asarray(gray[0, 0, 0])  # staged
-
-    # Distinct per-round noise added ON DEVICE (the point is to exclude the
-    # bulk host->device upload, not to let a cache skip the compute).
+    # Batch-size scan: on the remote tunnel the per-batch cost is
+    # dominated by dispatch latency (one fused stage-1 program + one
+    # gathered download; LM_DECOMPOSITION's ~26 ms floor), so fps scales
+    # nearly linearly with batch until device compute catches up.
     import jax as _jax
 
-    keys = _jax.random.split(_jax.random.PRNGKey(3), ROUNDS)
-    noisy = [
-        gray + 2.0 * _jax.random.normal(k, gray.shape, gray.dtype)
-        for k in keys
-    ]
-    # One-step lookahead like the production pipeline: next round's stage 1
-    # dispatched before this round's host ordering.
-    def dr_stage1(g):
-        # Fast-path stage 1 (candidates + device lattice ordering + refine
-        # + anchor scores): certified frames need no further device work.
-        return (g,) + tuple(_stage1_fast(g, 160, 4, BOARD[0], BOARD[1], 40, 5))
+    def measure_device_resident(dbatch):
+        stack = np.stack(frames * (dbatch // BATCH))
+        gray = _gray_from_u8(jnp.asarray(stack))
+        np.asarray(gray[0, 0, 0])  # staged
 
-    def dr_finish(s1):
-        return _batch_finish(s1, dbatch, BOARD, True, 0.2, 40, 5)
+        # Distinct per-round noise added ON DEVICE (the point is to
+        # exclude the bulk host->device upload, not to let a cache skip
+        # the compute).
+        keys = _jax.random.split(_jax.random.PRNGKey(3), ROUNDS)
+        noisy = [
+            gray + 2.0 * _jax.random.normal(k, gray.shape, gray.dtype)
+            for k in keys
+        ]
 
-    dr_finish(dr_stage1(noisy[0]))  # warm
-    t0 = time.time()
-    n_det_d = 0
-    prev = dr_stage1(noisy[0])
-    for g in noisy[1:]:
-        cur = dr_stage1(g)
+        # One-step lookahead like the production pipeline: next round's
+        # stage 1 dispatched before this round's host ordering.
+        def dr_stage1(g):
+            # Fast-path stage 1 (candidates + device lattice ordering +
+            # refine + anchor scores, ONE fused program on TPU): certified
+            # frames need no further device work.
+            return (g,) + tuple(
+                _stage1_fast(g, 160, 4, BOARD[0], BOARD[1], 40, 5)
+            )
+
+        def dr_finish(s1):
+            return _batch_finish(s1, dbatch, BOARD, True, 0.2, 40, 5)
+
+        dr_finish(dr_stage1(noisy[0]))  # warm
+        t0 = time.time()
+        n_det_d = 0
+        prev = dr_stage1(noisy[0])
+        for g in noisy[1:]:
+            cur = dr_stage1(g)
+            n_det_d += len(dr_finish(prev))
+            prev = cur
         n_det_d += len(dr_finish(prev))
-        prev = cur
-    n_det_d += len(dr_finish(prev))
-    wall_d = time.time() - t0
-    fps_dev = dbatch * ROUNDS / wall_d
-    rate_dev = n_det_d / (dbatch * ROUNDS)
-    print(
-        f"device-resident batch {dbatch}: {fps_dev:.1f} fps, "
-        f"rate {rate_dev:.3f}",
-        flush=True,
-    )
+        wall_d = time.time() - t0
+        return dbatch * ROUNDS / wall_d, n_det_d / (dbatch * ROUNDS)
+
+    dev_results = {}
+    for dbatch in (128, 256, 512):
+        fps_b, rate_b = measure_device_resident(dbatch)
+        dev_results[dbatch] = (fps_b, rate_b)
+        print(
+            f"device-resident batch {dbatch}: {fps_b:.1f} fps, "
+            f"rate {rate_b:.3f}",
+            flush=True,
+        )
+    dev_ok = {
+        b: v for b, v in dev_results.items() if v[1] >= 1.0
+    } or dev_results
+    dbatch = max(dev_ok, key=lambda b: dev_ok[b][0])
+    fps_dev, rate_dev = dev_results[dbatch]
 
     ref_fps_core, ref_rate = measure_reference(frames)
     n_cores = os.cpu_count() or 1
@@ -234,7 +306,7 @@ def main():
     # device-resident detection rate). Decode rate measured on THIS host's
     # native C++ loader, per stream; a 6-camera rig runs 6 independent
     # decode threads.
-    decode_fps = measure_decode_fps(frames)
+    decode_fps, decode_impl = measure_decode_fps(frames)
     if decode_fps is not None:
         proj_1cam = min(decode_fps, fps_dev)
         proj_6cam = min(6 * decode_fps, fps_dev)
@@ -285,6 +357,11 @@ def main():
         },
         "device_resident_fps": round(fps_dev, 2),
         "device_resident_rate": round(rate_dev, 3),
+        "device_resident_batch": int(dbatch),
+        "device_resident_per_batch": {
+            str(b): [round(v[0], 2), round(v[1], 3)]
+            for b, v in dev_results.items()
+        },
         "host_device_link_note": (
             "this container's host<->TPU link is a ~24 MB/s remote tunnel; "
             "tunnel-fed fps is link-bound, device_resident_fps is the "
@@ -302,6 +379,13 @@ def main():
         # transfer cost; ours reads HBM).
         "vs_reference_pool": round(fps / ref_fps_pool, 2),
         "vs_reference_core_device_resident": round(fps_dev / ref_fps_core, 2),
+        # The reference tutorial's actual deployment is a 6-worker pool
+        # (reference detection.py:80-112, tutorial cell 2) — compare
+        # against that regardless of this container's core count.
+        "reference_fps_6worker": round(6 * ref_fps_core, 2),
+        "vs_reference_6worker_device_resident": round(
+            fps_dev / (6 * ref_fps_core), 2
+        ),
         # Co-located projection: decode (host C++ loader, per stream)
         # overlapped with device-resident detection — the deployment this
         # pipeline is designed for. The tunnel-fed number above is what
@@ -309,6 +393,7 @@ def main():
         **(
             {
                 "decode_fps_per_stream": round(decode_fps, 2),
+                "decode_impl": decode_impl,
                 "projected_colocated_fps_1cam": round(
                     min(decode_fps, fps_dev), 2
                 ),

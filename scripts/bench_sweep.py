@@ -200,17 +200,35 @@ def main():
                 opts, block_dtype=None, cost_dtype=None, solve_dtype=None,
                 grad_dtype=None, max_iters=10,
             )
+            # Small problems run the f64 oracle polish on the host CPU
+            # backend — native f64 (~4 s cold / <0.1 s warm) instead of a
+            # fresh emulated-f64 accelerator compile (~40 s for the 2cam
+            # toy, 400x its own solve time; VERDICT r4 weak #5). Same
+            # relocation bundle_adjust ships; the oracle property is
+            # unchanged (CPU f64 is the stricter arithmetic).
+            polish_cpu = (
+                jax.default_backend() != "cpu" and obs.size <= 8_000_000
+            )
+            if polish_cpu:
+                cpu0 = jax.devices("cpu")[0]
+                args_p = [
+                    jax.device_put(v, cpu0)
+                    for v in (cam, poses_adj, obs, mask, objp)
+                ]
+            else:
+                args_p = [cam, poses_adj, obs, mask, objp]
             cost_before = float(info["final_cost"])
             polish_wall, polish_iters, rel_improve = 0.0, 0, np.inf
             lam = float(info["lambda"])
             for _round in range(2):
                 t0 = time.time()
-                cam, poses_adj, pinfo = lm_solve(
-                    cam, poses_adj, obs, mask, objp, polish_opts,
+                cam_p, poses_p, pinfo = lm_solve(
+                    args_p[0], args_p[1], *args_p[2:], polish_opts,
                     init_lam=lam,
                 )
+                args_p[0], args_p[1] = cam_p, poses_p
                 cost_after = float(pinfo["final_cost"])
-                _ = np.asarray(cam)
+                _ = np.asarray(cam_p)
                 polish_wall += time.time() - t0
                 polish_iters += int(pinfo["n_iters"])
                 lam = float(pinfo["lambda"])
@@ -220,8 +238,13 @@ def main():
                 cost_before = cost_after
                 if rel_improve < 1e-3:
                     break
+            dev0 = jax.devices()[0]
+            cam = jax.device_put(args_p[0], dev0)
+            poses_adj = jax.device_put(args_p[1], dev0)
             rmse = reproject_rmse(cam, poses_adj)
             quality = gate(cost_after, rmse)
+            if polish_cpu:
+                quality["polish_on_cpu"] = True
             quality["f64_polish_iters"] = polish_iters
             quality["polish_wall_s"] = round(polish_wall, 4)
             quality["final_cost_polished"] = round(cost_after, 2)
