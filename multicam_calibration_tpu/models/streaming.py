@@ -45,6 +45,18 @@ __all__ = ["RollingCalibrator"]
 
 
 class RollingCalibrator:
+    """Windowed streaming re-calibration over incoming frame batches.
+
+    Keeps a fixed-capacity keyframe window ON DEVICE; ``update(batch_uvs)``
+    PnP-initializes the new frames' board poses against the current
+    cameras, admits them (evicting the lowest-value keyframes — rare
+    camera-pair witnesses are protected, recent frames always kept), and
+    runs a few warm-started LM iterations in one fused device program.
+    Tracks slow rig drift at O(window) cost per batch; the reference's
+    only equivalent is a full offline re-run (bundle_adjustment.py:195).
+    See the module docstring for the design rationale.
+    """
+
     def __init__(
         self,
         all_extrinsics,

@@ -86,6 +86,11 @@ def _response_kernel(kvec, halo, tile_h, copy_h, x_hbm, out_ref, scratch, sem):
 
 @functools.partial(jax.jit, static_argnames=("sigma", "tile_h", "interpret"))
 def _corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=False):
+    # f32 kernel: the stencil runs on the VPU in f32 (image data has 8-bit
+    # provenance); f64 grays (callers under jax_enable_x64) are downcast —
+    # the x64-off context below would otherwise store f32 into an f64 ref.
+    if gray.dtype == jnp.float64:
+        gray = gray.astype(jnp.float32)
     B, H, W = gray.shape
     dtype = gray.dtype
     r = int(3 * sigma + 0.5)
@@ -107,22 +112,27 @@ def _corner_response_pallas(gray, sigma=1.5, tile_h=128, interpret=False):
     kvec = [float(v) for v in kvec / kvec.sum()]
 
     grid = (B, hp // tile_h)
-    out = pl.pallas_call(
-        functools.partial(_response_kernel, kvec, halo, tile_h, copy_h),
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec(
-            (1, tile_h, wo),
-            lambda b, i: (b, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, hp, wo), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((copy_h, wp), dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(x)
+    # x64 OFF around the pallas_call: under jax_enable_x64 the grid index
+    # maps trace as int64, which Mosaic cannot legalize ('func.return
+    # (i32, i32, i64) failed to legalize' — caught by tpu_parity's
+    # detection battery on hardware; same guard as ops/ba_pallas.py).
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_response_kernel, kvec, halo, tile_h, copy_h),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(
+                (1, tile_h, wo),
+                lambda b, i: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, hp, wo), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((copy_h, wp), dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(x)
     return out[:, :H, :W]
 
 
@@ -186,6 +196,9 @@ def _response_peaks_kernel(
 def _corner_response_peaks_pallas(
     gray, sigma=1.5, nms_radius=4, tile_h=64, interpret=False
 ):
+    # f32 kernel: see _corner_response_pallas.
+    if gray.dtype == jnp.float64:
+        gray = gray.astype(jnp.float32)
     B, H, W = gray.shape
     dtype = gray.dtype
     rg = int(3 * sigma + 0.5)
@@ -241,24 +254,27 @@ def _corner_response_peaks_pallas(
     out_spec = pl.BlockSpec(
         (1, tile_h, wo), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
     )
-    resp, peak = pl.pallas_call(
-        functools.partial(
-            _response_peaks_kernel, list(kvec), rg, int(nms_radius), tile_h,
-            copy_h,
-        ),
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, hp, wo), dtype),
-            jax.ShapeDtypeStruct((B, hp, wo), dtype),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((copy_h, wp), dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(x)
+    # x64 OFF: see _corner_response_pallas (i64 grid index maps fail
+    # Mosaic legalization; caught on hardware by tpu_parity).
+    with jax.enable_x64(False):
+        resp, peak = pl.pallas_call(
+            functools.partial(
+                _response_peaks_kernel, list(kvec), rg, int(nms_radius),
+                tile_h, copy_h,
+            ),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=(out_spec, out_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, hp, wo), dtype),
+                jax.ShapeDtypeStruct((B, hp, wo), dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((copy_h, wp), dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            interpret=interpret,
+        )(x)
     return resp[:, :H, :W], peak[:, :H, :W] > 0
 
 

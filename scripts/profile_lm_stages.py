@@ -68,14 +68,22 @@ def main():
         schur_solve,
     )
 
+    # Configs as "C F" pairs; F may carry a per-config frame chunk as
+    # "F:chunk" (config 5 is 64 20000:256 — the sweep's memory-bounded
+    # scan path). LM_PROFILE_FRAME_CHUNK is the global fallback.
+    g_chunk = int(os.environ.get("LM_PROFILE_FRAME_CHUNK", "0")) or None
     cfgs = []
     args = sys.argv[1:]
     while args:
-        cfgs.append((int(args[0]), int(args[1])))
+        fspec = args[1]
+        if ":" in fspec:
+            f_str, ck_str = fspec.split(":")
+            cfgs.append((int(args[0]), int(f_str), int(ck_str)))
+        else:
+            cfgs.append((int(args[0]), int(fspec), g_chunk))
         args = args[2:]
     if not cfgs:
-        cfgs = [(6, 1000)]
-    frame_chunk = int(os.environ.get("LM_PROFILE_FRAME_CHUNK", "0")) or None
+        cfgs = [(6, 1000, g_chunk)]
 
     platform = jax.default_backend()
     on_tpu = platform not in ("cpu",)
@@ -94,7 +102,7 @@ def main():
                "configs": []}
 
     dtype = jnp.float64
-    for C, F in cfgs:
+    for C, F, frame_chunk in cfgs:
         rig = mct.make_synthetic_rig(
             n_cameras=C, n_frames=F, noise_px=0.3, dropout=0.25, seed=11
         )
@@ -202,9 +210,18 @@ def main():
         print(f"compute_cost:        {t_cost*1e3:9.2f} ms "
               f"({row['stages']['cost']['bound']}-bound)", flush=True)
 
-        # Full solve for the per-iteration comparison (both impls on TPU).
-        for impl in impls:
-            opts_i = LMOptions(block_impl=impl, **base)
+        # Full solve for the per-iteration comparison (both impls on TPU,
+        # plus the full-kernel recipe: fused cost eval per damping try —
+        # nfev-n_iters extra cost programs the cost kernel can absorb).
+        solve_impls = list(impls)
+        if "pallas" in impls:
+            solve_impls.append("pallas+cost")
+        for impl in solve_impls:
+            opts_i = LMOptions(
+                block_impl="pallas" if impl == "pallas+cost" else impl,
+                cost_impl="pallas" if impl == "pallas+cost" else "xla",
+                **base,
+            )
             out = lm_solve(cam0, poses0, obs, mask, objp, opts_i)
             jax_tree_materialize(out[:2])
             t0 = time.time()
@@ -216,8 +233,9 @@ def main():
             t_full = time.time() - t0
             per_iter = t_full / max(n_iters, 1)
             tries = nfev - 1
+            t_blk_i = t_blocks["pallas" if impl == "pallas+cost" else impl]
             model = (
-                n_iters * t_blocks[impl] + tries * (t_schur + t_cost) + t_cost
+                n_iters * t_blk_i + tries * (t_schur + t_cost) + t_cost
             )
             row[f"lm_{impl}"] = {
                 "wall_s": round(t_full, 4), "n_iters": n_iters, "nfev": nfev,
