@@ -220,14 +220,23 @@ def _corner_response_peaks_pallas(
     # HBM; both compile. (Huge batches, e.g. 128 full frames, never fit
     # and always go to HBM — only the mid-size window is affected.)
     itemsize = jnp.dtype(dtype).itemsize
-    out_total = 2 * B * hp * wo * itemsize
-    per_frame = (2 * hp * wo + (hp + copy_h - tile_h) * wp) * itemsize
+    out_el = 2 * hp * wo  # both outputs, per frame
+    in_el = (hp + copy_h - tile_h) * wp  # staged input, per frame
+    # Scoped-stack model CALIBRATED against the compiler's own accounting
+    # (r5 hardware battery: B=2 sigma=9 480x640 f32 measured 19.96 MB vs
+    # the 16 MB limit): the custom call's stack is ~2x(outputs + staged
+    # input) + scratch — outputs appear once as kernel outputs and once
+    # as relayout copies, the input as operand + copy. The r4 model
+    # (1x outputs + input) under-counted and shipped slabs that still
+    # overflowed at large halos.
+    stack_per_frame = 2 * (out_el + in_el) * itemsize
     fixed = copy_h * wp * itemsize
-    est_total = B * per_frame + fixed
+    out_total = B * out_el * itemsize
+    stack_total = B * stack_per_frame + fixed
     # Danger window: outputs alone fit (so XLA may place them in VMEM)
-    # but outputs + staged input overflow the 16 MB scoped window.
-    max_b = max(1, ((12 << 20) - fixed) // per_frame)
-    if B > max_b and out_total < (16 << 20) and est_total > (14 << 20):
+    # but the modeled stack overflows the 16 MB scoped window.
+    max_b = max(1, ((12 << 20) - fixed) // stack_per_frame)
+    if B > max_b and out_total < (16 << 20) and stack_total > (12 << 20):
         nb = -(-B // max_b)
         pad_b = nb * max_b - B
         gpad = jnp.pad(gray, ((0, pad_b), (0, 0), (0, 0)))

@@ -191,14 +191,14 @@ def test_corner_response_pallas_finds_saddles(rng):
 
 
 def test_corner_peaks_vmem_danger_window_slabs():
-    """Regression (round-4 battery failure): when the corner-peaks
+    """Regression (round-4/5 battery failures): when the corner-peaks
     outputs FIT under XLA:TPU's 16 MB scoped-vmem window, layout
-    assignment may place them in VMEM; adding the staged input block then
-    overflows the window and compilation fails (observed at the sigma=9
-    blur rung, batch 4 x 480x640 f32: outputs 11.5 MB + input 6.8 MB).
-    The wrapper slabs the batch in exactly that window. This pins (a)
-    that the crafted shape really lands in the window per the wrapper's
-    own arithmetic and (b) that slabbed == direct bitwise.
+    assignment may place them in VMEM; the custom call's actual scoped
+    stack is ~2x(outputs + staged input) + scratch (r5 hardware: B=2
+    sigma=9 measured 19.96 MB vs the 16 MB limit — the r4 1x model
+    under-counted). The wrapper slabs the batch in exactly that window.
+    This pins (a) that the crafted shape really lands in the window per
+    the wrapper's own arithmetic and (b) that slabbed == direct bitwise.
     """
     from multicam_calibration_tpu.ops.pallas_kernels import (
         _round_up, corner_response_peaks_pallas,
@@ -213,11 +213,14 @@ def test_corner_peaks_vmem_danger_window_slabs():
     wp = _round_up(W + 2 * halo, 128)
     wo = wp - 2 * halo
     itemsize = 4  # the kernels are f32 (f64 inputs are downcast at entry)
-    out_total = 2 * B * hp * wo * itemsize
-    per_frame = (2 * hp * wo + (hp + copy_h - tile_h) * wp) * itemsize
+    out_el = 2 * hp * wo
+    in_el = (hp + copy_h - tile_h) * wp
+    stack_per_frame = 2 * (out_el + in_el) * itemsize
     fixed = copy_h * wp * itemsize
-    max_b = max(1, ((12 << 20) - fixed) // per_frame)
-    assert out_total < (16 << 20) and B * per_frame + fixed > (14 << 20)
+    out_total = B * out_el * itemsize
+    max_b = max(1, ((12 << 20) - fixed) // stack_per_frame)
+    assert out_total < (16 << 20)
+    assert B * stack_per_frame + fixed > (12 << 20)
     assert B > max_b  # the slab branch fires for this shape
 
     rng = np.random.default_rng(3)
