@@ -291,7 +291,16 @@ def corner_response_peaks_pallas(
     gray, sigma=1.5, nms_radius=4, tile_h=64, interpret=None
 ):
     """Fused (response, is_peak) over (B, H, W) — one HBM pass instead of
-    response + reduce_window + compare. See corner_response_pallas."""
+    response + reduce_window + compare. See corner_response_pallas.
+
+    Large sigmas (>= ~6): the kernel's internal VMEM frame grows with the
+    unrolled Gaussian tap count (~20 MB at sigma=9/rg=27 — measured by
+    the r5 hardware battery) and exceeds XLA:TPU's default 16 MB scoped
+    window REGARDLESS of batch size. Callers jitting those sigmas must
+    raise the per-executable budget via
+    ``compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"}`` on a
+    TPU backend, as the production blur ladder does
+    (detection.detector._coarse_retry_jit)."""
     if interpret is None:
         interpret = not on_tpu()
     return _corner_response_peaks_pallas(

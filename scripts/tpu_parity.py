@@ -377,10 +377,23 @@ def check_detection(results):
     }
     ok &= checks["response"]["ok"]
 
-    # (b) sigma=9 candidates, batch INSIDE the VMEM slab danger window
-    # (B=4 full frames at sigma 9: outputs fit under 16 MB, outputs+staged
-    # input overflow — r4's compile-time OOM class) and below it (B=2).
-    @functools.partial(jax.jit, static_argnames=("up",))
+    # (b) sigma=9 candidates at two batch sizes — the large-halo kernel's
+    # internal VMEM frame (~20 MB at rg=27: the 55-tap unrolled conv's
+    # live shifted slices) exceeds the DEFAULT 16 MB scoped window
+    # regardless of batch, so production always compiles these rungs
+    # under the raised per-executable budget (detector._coarse_retry_jit,
+    # xla_tpu_scoped_vmem_limit_kib=65536). This check certifies exactly
+    # that production configuration; compiling bare is a known-failing
+    # configuration no shipped dispatch uses.
+    vmem_opts = (
+        {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+        if jax.default_backend() == "tpu"
+        else None
+    )
+
+    @functools.partial(
+        jax.jit, static_argnames=("up",), compiler_options=vmem_opts
+    )
     @with_highest_precision
     def _cand9(g, up):
         from multicam_calibration_tpu.detection.detector import (
