@@ -29,9 +29,13 @@ print('TPU-UP', d)
     echo "detection rc=$?" >> /tmp/tpu_battery/status.log
     timeout -k 60 5400 python scripts/bench_sweep.py > /tmp/tpu_battery/sweep.log 2>&1
     echo "sweep rc=$?" >> /tmp/tpu_battery/status.log
+    timeout -k 60 3600 python scripts/bench_streaming.py > /tmp/tpu_battery/streaming.log 2>&1
+    echo "streaming rc=$?" >> /tmp/tpu_battery/status.log
     timeout -k 60 3600 python scripts/profile_detection_stages.py > /tmp/tpu_battery/det_stages.log 2>&1
     echo "det_stages rc=$?" >> /tmp/tpu_battery/status.log
-    timeout -k 60 3600 python scripts/profile_lm_stages.py > /tmp/tpu_battery/lm_stages.log 2>&1
+    # 6cam bench config + config 5 (64cam x 20k, frame_chunk 256) with the
+    # pallas+cost full-solve variant — the VERDICT r4 #6 decomposition.
+    timeout -k 60 3600 python scripts/profile_lm_stages.py 6 1000 64 20000:256 > /tmp/tpu_battery/lm_stages.log 2>&1
     echo "lm_stages rc=$?" >> /tmp/tpu_battery/status.log
     echo "$(date -u +%FT%TZ) battery done" >> /tmp/tpu_battery/status.log
     exit 0
