@@ -15,7 +15,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BATCH = 128
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 BOARD = (5, 7)
 
 
@@ -106,10 +106,18 @@ def main():
         out = _stage1_fast(gray, 160, 4, BOARD[0], BOARD[1], 40, 5)
         return tuple(np.asarray(a) for a in out)
 
-    t_all = timed("FULL fast stage1 (3 chained jits)", full_fast)
+    t_all = timed("FULL fast stage1 (backend dispatch)", full_fast)
+
+    from multicam_calibration_tpu.detection.detector import _stage1_fused
+
+    def full_fused():
+        out = _stage1_fused(gray, 160, 4, BOARD[0], BOARD[1], 40, 5)
+        return tuple(np.asarray(a) for a in out)
+
+    t_fused = timed("FULL fused stage1 (ONE program)", full_fused)
     print(
-        f"sum of parts {1e3*(t_cand + t_ord + t_rs):.1f} ms vs chained "
-        f"{1e3*t_all:.1f} ms"
+        f"sum of parts {1e3*(t_cand + t_ord + t_rs):.1f} ms vs dispatch "
+        f"{1e3*t_all:.1f} ms vs fused {1e3*t_fused:.1f} ms"
     )
 
 
