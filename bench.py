@@ -417,10 +417,15 @@ if __name__ == "__main__":
     #   3. CPU    (<=600 s): honest platform=cpu fallback (measured ~170 s
     #      end-to-end) whenever 1 or 2 failed. ALWAYS records a result.
     #
-    # Worst case 300+900+600 = 30 min, inside the driver budget; healthy
-    # case ~60 s probe + full run. Every success also writes
-    # BENCH_LAST.json (see main()).
+    # Worst case 300+300+900+600 = 35 min, inside the driver budget;
+    # healthy case ~60 s probe + full run. Every success also writes
+    # BENCH_LAST.json (see main()). The probe retries once: r5 observed
+    # axon flaps SHORTER than one probe window (a probe timed out at
+    # 10:14 while a patient run at 10:50 succeeded) — one cheap retry
+    # converts those into TPU records instead of CPU fallbacks.
     rc = _attempt({"MCC_BENCH_PROBE": "1"}, 300, "probe")
+    if rc != 0:
+        rc = _attempt({"MCC_BENCH_PROBE": "1"}, 300, "probe retry")
     if rc == 0:
         rc = _attempt(
             {"MCC_BENCH_INIT_ALARM": "240", "MCC_BENCH_RUN_ALARM": "840"},
