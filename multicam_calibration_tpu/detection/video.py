@@ -95,7 +95,7 @@ def process_video(
     n_workers=1,
     frames=None,
     img_size=None,
-    batch_size=64,
+    batch_size=None,
 ):
     """Detect the calibration object in one video; cache to HDF5.
 
@@ -117,6 +117,13 @@ def process_video(
     """
     import h5py
 
+    if batch_size is None:
+        # 256 measured fastest on TPU (BENCH_DETECTION r5: 2077 fps vs
+        # 1847 at 128 — the pipeline is device-compute-bound, and 512
+        # regresses); CPU keeps the smaller batch (memory/latency).
+        import jax as _jax
+
+        batch_size = 256 if _jax.default_backend() == "tpu" else 64
     detection_options = detection_options or {}
     reader = None
     if frames is None:
