@@ -239,3 +239,27 @@ class TestCLI:
         assert rc == 0
         t = np.load(out)
         assert t.shape == (6,)
+
+
+def test_build_version_matches_module(tmp_path):
+    """Distribution builds bake the git-derived version (versioneer
+    parity, reference setup.py:1-26): setup.py computes it from
+    _version.py loaded as a file (no package import at build time)."""
+    import importlib.util
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "setup.py", "--version"], cwd=repo,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    built = out.stdout.strip().splitlines()[-1]
+    spec = importlib.util.spec_from_file_location(
+        "_v", os.path.join(repo, "multicam_calibration_tpu", "_version.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert built == mod.get_version()
