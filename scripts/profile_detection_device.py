@@ -90,7 +90,7 @@ def main():
 
     flat = grids.reshape(BATCH, -1, 2)
     t_ref = timed(
-        "subpix refine (35 corners, win 5, 8 it)",
+        "subpix refine (35 corners, win 5, default iters)",
         lambda: np.asarray(_refine_points(gray, flat, 5)),
     )
     t_anc = timed(
